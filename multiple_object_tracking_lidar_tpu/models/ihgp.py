@@ -1,0 +1,258 @@
+"""Infinite-Horizon Gaussian Process filter/smoother (Solin et al., NeurIPS 2018).
+
+TPU-first reorganization of the reference implementation
+(ref: src/ihgp/InfiniteHorizonGP.cpp):
+
+* The reference constructs one InfiniteHorizonGP object per track per axis and
+  recomputes expm/DARE/gains in every constructor (cpp:12-97) even though the
+  results depend only on (dt, hyperparameters) — which are fixed config values
+  (cpp:522-534).  Here the stationary gains are computed ONCE on host in
+  float64 (`stationary_gains`) and baked into the jitted step as constants.
+
+* Per-track runtime state is exactly one 2-vector per axis: the reference's
+  `m`.  Note `init_step()` (cpp:108-130) does NOT reset `m`, and the backward
+  pass `getEft()` (cpp:164-196) leaves `m` at the smoothed state of window
+  position 0 — so each frame's filter starts from the previous frame's
+  smoothed head-of-window state.  We reproduce that by carrying `m0` in the
+  track bank and returning the new carry from `ihgp_filter_smoother`.
+
+* The forward filter (cpp:132-162) and backward RTS smoother (cpp:164-196)
+  become `lax.scan`s, vmapped over the whole track bank x {x,y} axes so all
+  tracks are filtered in one fused dispatch.
+
+The likelihood/gradient recursions (cpp:141-154) power the optional
+hyperparameter-learning mode (the reference's dead IHGP_nonfixed, cpp:922-1011).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy.linalg import expm as _expm
+
+from multiple_object_tracking_lidar_tpu.models.matern32 import Matern32SSM
+
+# The reference's truncated pi constant (cpp:135) — kept for bit-parity of NLL.
+REF_PI = 3.141592654
+
+DARE_EPS = 1e-10   # cpp:9
+DARE_MAXIT = 100   # cpp:10
+
+
+def dare_fixed_point(A: np.ndarray, B: np.ndarray, Q: np.ndarray, R: float) -> np.ndarray:
+    """Fixed-point DARE solver, same iteration as the reference (cpp:213-252).
+
+    NB like the reference: only valid for scalar R (and possibly zero B).
+    Host-side float64.
+    """
+    dim = A.shape[0]
+    X = np.eye(dim)
+    for _ in range(DARE_MAXIT):
+        X_prev = X
+        if abs(R) < 1e-15:
+            K = np.zeros((dim, B.shape[0]))
+        else:
+            K = A @ (X @ B.T / ((B @ X @ B.T)[0, 0] + R))
+        X = (A - K @ B) @ X @ (A - K @ B).T + K * R @ K.T + Q
+        if np.linalg.norm(X - X_prev, "fro") < DARE_EPS:
+            break
+    return X
+
+
+@dataclasses.dataclass(frozen=True)
+class IHGPGains:
+    """Stationary quantities; all host-side float64 NumPy.
+
+    Derivative arrays (for the learning mode) are stacked over the parameter
+    axis (sigma2, magnSigma2, lengthScale), matching the reference's dF order.
+    """
+
+    A: np.ndarray        # (2,2) discrete transition, expm(F dt)    (cpp:15)
+    Q: np.ndarray        # (2,2) process noise                      (cpp:16)
+    S: float             # innovation variance                      (cpp:27)
+    K: np.ndarray        # (2,) stationary Kalman gain              (cpp:30)
+    PF: np.ndarray       # (2,2) stationary filtered covariance     (cpp:33)
+    HA: np.ndarray       # (2,) (H A)^T                             (cpp:36)
+    AKHA: np.ndarray     # (2,2) A - K H A                          (cpp:37)
+    G: np.ndarray        # (2,2) stationary RTS smoother gain       (cpp:168-170)
+    # learning-mode derivatives (cpp:63-92)
+    dS: np.ndarray       # (3,)
+    dK: np.ndarray       # (3,2)
+    dAKHA: np.ndarray    # (3,2,2)
+    HdA: np.ndarray      # (3,2)
+
+    def as_jax(self, dtype=jnp.float32) -> dict:
+        """Device constants for the fast path (no derivative tensors)."""
+        return {
+            "A": jnp.asarray(self.A, dtype),
+            "K": jnp.asarray(self.K, dtype),
+            "HA": jnp.asarray(self.HA, dtype),
+            "AKHA": jnp.asarray(self.AKHA, dtype),
+            "G": jnp.asarray(self.G, dtype),
+            "S": jnp.asarray(self.S, dtype),
+        }
+
+    def as_jax_learning(self, dtype=jnp.float32) -> dict:
+        d = self.as_jax(dtype)
+        d.update(
+            dS=jnp.asarray(self.dS, dtype),
+            dK=jnp.asarray(self.dK, dtype),
+            dAKHA=jnp.asarray(self.dAKHA, dtype),
+            HdA=jnp.asarray(self.HdA, dtype),
+        )
+        return d
+
+
+def stationary_gains(ssm: Matern32SSM, dt: float) -> IHGPGains:
+    """All stationary filter/smoother quantities for one axis.
+
+    Mirrors the reference constructor (cpp:12-97) + the smoother-gain solve
+    from getEft (cpp:166-170), in float64 on host.
+    """
+    F, Pinf, H, R = ssm.F, ssm.Pinf, ssm.H, ssm.R
+    dim = F.shape[0]
+
+    A = _expm(F * dt)                       # cpp:15
+    Q = Pinf - A @ Pinf @ A.T               # cpp:16
+
+    PP = dare_fixed_point(A, H, Q, R)       # cpp:23
+    S = float((H @ PP @ H.T)[0, 0] + R)     # cpp:27
+    K = (PP @ H.T / S)[:, 0]                # cpp:30
+    PF = PP - np.outer(K, H @ PP)           # cpp:33
+    HA = (H @ A)[0, :]                      # cpp:36
+    AKHA = A - np.outer(K, H @ A)           # cpp:37
+
+    # Smoother gain G = solve(A PF A^T + Q, A PF)^T  (cpp:166-170)
+    PPs = A @ PF @ A.T + Q
+    G = np.linalg.solve(PPs, A @ PF).T
+
+    # Derivatives via Van Loan block expm + DARE (cpp:49-92)
+    nparam = ssm.dF.shape[0]
+    AK = A @ K[:, None]                     # (2,1)
+    dS = np.zeros(nparam)
+    dK = np.zeros((nparam, dim))
+    dAKHA = np.zeros((nparam, dim, dim))
+    HdA = np.zeros((nparam, dim))
+    for j in range(nparam):
+        FF = np.zeros((2 * dim, 2 * dim))
+        FF[:dim, :dim] = F
+        FF[dim:, dim:] = F
+        FF[dim:, :dim] = ssm.dF[j]
+        AA = _expm(FF * dt)
+        dA = AA[dim:, :dim]
+        dQ = ssm.dPinf[j] - dA @ Pinf @ A.T - A @ ssm.dPinf[j] @ A.T - A @ Pinf @ dA.T
+        dQ = 0.5 * (dQ + dQ.T)
+        C = (
+            dA @ PP @ A.T
+            + A @ PP @ dA.T
+            - dA @ PP @ H.T @ AK.T
+            - AK @ H @ PP @ dA.T
+            + AK * ssm.dR[j] @ AK.T
+            + dQ
+        )
+        C = 0.5 * (C + C.T)
+        dPP = dare_fixed_point(A - AK @ H, np.zeros((dim, dim)), C, 0.0)
+        dS[j] = (H @ dPP @ H.T)[0, 0] + ssm.dR[j]
+        dK[j] = (dPP @ H.T / S - PP @ H.T * (((H @ dPP @ H.T)[0, 0] + ssm.dR[j]) / S / S))[:, 0]
+        dAKHA[j] = dA - np.outer(dK[j], H @ A) - np.outer(K, H @ dA)
+        HdA[j] = (H @ dA)[0, :]
+
+    return IHGPGains(
+        A=A, Q=Q, S=S, K=K, PF=PF, HA=HA, AKHA=AKHA, G=G,
+        dS=dS, dK=dK, dAKHA=dAKHA, HdA=HdA,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Device-side scans (fast path)
+# ---------------------------------------------------------------------------
+
+def ihgp_filter_smoother(y: jax.Array, m0: jax.Array, gains: dict) -> tuple[jax.Array, jax.Array]:
+    """Forward filter + backward smoother over one window of one scalar series.
+
+    Args:
+      y: (L,) observations (already mean-centered by the caller).
+      m0: (2,) filter state carried in from the previous frame (see module doc).
+      gains: device constants from IHGPGains.as_jax.
+
+    Returns:
+      eft: (L,) smoothed posterior mean at every window position
+           (== reference getEft(), cpp:164-196).
+      m_carry: (2,) smoothed state at window position 0 — the value the
+           reference leaves in `m` after getEft, i.e. next frame's m0.
+    """
+    AKHA, K, A, G = gains["AKHA"], gains["K"], gains["A"], gains["G"]
+
+    def fwd(m, yk):
+        m = AKHA @ m + K * yk            # cpp:157
+        return m, m
+
+    _, MF = jax.lax.scan(fwd, m0, y)     # MF: (L,2) — cpp:160's stored means
+
+    def bwd(m, mf):
+        m_s = mf + G @ (m - A @ mf)      # cpp:187
+        return m_s, m_s
+
+    m_last = MF[-1]
+    m_carry, ms_rev = jax.lax.scan(bwd, m_last, MF[:-1][::-1])
+    # eft[k] = H m_s[k] = m_s[k][0]; last position stays at the filtered value
+    # (the reference smooths positions L-2..0 only, cpp:181-189).
+    eft = jnp.concatenate([ms_rev[::-1, 0], m_last[0:1]], axis=0)
+    return eft, m_carry
+
+
+def ihgp_batch(y: jax.Array, m0: jax.Array, gains_xy: dict) -> tuple[jax.Array, jax.Array]:
+    """Filter+smooth the whole track bank in one dispatch.
+
+    Args:
+      y: (K, 2, L) mean-centered series per track per axis {x, y}.
+      m0: (K, 2, 2) carried filter states.
+      gains_xy: gains dict whose leaves have a leading axis of size 2 (x, y).
+
+    Returns:
+      eft: (K, 2, L), m_carry: (K, 2, 2).
+    """
+    over_axes = jax.vmap(ihgp_filter_smoother, in_axes=(0, 0, 0))   # over {x,y}
+    over_bank = jax.vmap(over_axes, in_axes=(0, 0, None))           # over tracks
+    return over_bank(y, m0, gains_xy)
+
+
+# ---------------------------------------------------------------------------
+# Learning mode: marginal likelihood + gradient recursions (cpp:132-162)
+# ---------------------------------------------------------------------------
+
+def ihgp_nll_grad(y: jax.Array, m0: jax.Array, gains: dict) -> tuple[jax.Array, jax.Array]:
+    """Negative log marginal likelihood and its gradient w.r.t.
+    (sigma2, magnSigma2, lengthScale) over one window.
+
+    Matches the reference's edata/gdata recursions (cpp:141-154) with
+    dm initialized to zero per window (cpp:90, init of dm; the reference
+    never resets dm in init_step — a latent bug we do not reproduce since
+    the learning path was dead code there).
+    """
+    AKHA, K, HA, S = gains["AKHA"], gains["K"], gains["HA"], gains["S"]
+    dS, dK, dAKHA, HdA = gains["dS"], gains["dK"], gains["dAKHA"], gains["HdA"]
+    nparam = dS.shape[0]
+
+    def step(carry, yk):
+        m, dm, edata, gdata = carry
+        v = yk - HA @ m
+        edata = edata + 0.5 * v * v / S + 0.5 * jnp.log(2 * REF_PI) + 0.5 * jnp.log(S)
+        dv = -(HdA @ m) - dm @ HA                      # (3,)
+        gdata = gdata + v * dv / S - 0.5 * v * v * dS / S / S + 0.5 * dS / S
+        dm = (dAKHA @ m) + dm @ AKHA.T + dK * yk       # (3,2)
+        m = AKHA @ m + K * yk
+        return (m, dm, edata, gdata), None
+
+    init = (
+        m0,
+        jnp.zeros((nparam, 2), dtype=y.dtype),
+        jnp.zeros((), dtype=y.dtype),
+        jnp.zeros((nparam,), dtype=y.dtype),
+    )
+    (m, dm, edata, gdata), _ = jax.lax.scan(step, init, y)
+    return edata, gdata

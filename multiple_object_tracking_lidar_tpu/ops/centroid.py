@@ -1,0 +1,99 @@
+"""Per-cluster "centroid" feature: circumcenter of the farthest-pair arc.
+
+Reference behavior (ref: getCentroid, src/multiple_object_tracking_lidar.cpp:708-822):
+per cluster (1) find the farthest point pair (Pi, Pj) by 3-D distance with an
+O(n^2) scan (cpp:731-759), (2) find the point Pk farthest from the PiPj line
+in the XY plane (cpp:763-784; points value-equal to Pi or Pj are skipped),
+(3) return the circumcenter of (Pi, Pj, Pk) via the determinant formula
+(cpp:787-809) with fallback to Pi when collinear (G == 0); z = 0 and the
+frame timestamp is stored in the intensity channel (cpp:801, 808).
+
+TPU design: the O(n^2) pair search becomes a masked pairwise-distance matmul
+(MXU) over the fixed-size member table, vmapped per cluster and chunked with
+`lax.map` to bound transient memory at (chunk, P, P).  Tie-breaking follows
+the reference: its scans keep the FIRST strict maximum in (i, j) lexicographic
+order, which is exactly `argmax`'s first-occurrence rule over the row-major
+flattened distance matrix.
+
+The line distance uses the mathematically identical cross-product form
+|((Pj-Pi) x (P3-Pi))_z| / ||Pj-Pi||_xy instead of the reference's
+slope-intercept form (cpp:753-755, 774), which is UB for vertical lines
+(division by zero at cpp:753); for non-degenerate inputs they agree.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _one_cluster(mp: jnp.ndarray, mm: jnp.ndarray) -> jnp.ndarray:
+    """mp: (P, 3) member points, mm: (P,) mask -> (2,) circumcenter xy."""
+    p = mp.shape[0]
+    # --- 1. farthest pair by 3-D distance (cpp:731-759) ---
+    diff = mp[:, None, :] - mp[None, :, :]
+    d2 = (diff * diff).sum(-1)
+    iu = jnp.arange(p)
+    pair_mask = mm[:, None] & mm[None, :] & (iu[:, None] < iu[None, :])
+    d2m = jnp.where(pair_mask, d2, -1.0)
+    flat = jnp.argmax(d2m)  # first max in (i, j) lexicographic order
+    i_star, j_star = flat // p, flat % p
+    pi = mp[i_star]
+    pj = mp[j_star]
+
+    # --- 2. farthest point from the PiPj line in XY (cpp:763-784) ---
+    ex = pj[0] - pi[0]
+    ey = pj[1] - pi[1]
+    cross = jnp.abs(ex * (mp[:, 1] - pi[1]) - ey * (mp[:, 0] - pi[0]))
+    norm = jnp.sqrt(ex * ex + ey * ey)
+    line_d = cross / jnp.maximum(norm, jnp.float32(1e-30))
+    eq_i = jnp.all(mp == pi, axis=1)
+    eq_j = jnp.all(mp == pj, axis=1)
+    k_mask = mm & ~eq_i & ~eq_j
+    k_star = jnp.argmax(jnp.where(k_mask, line_d, -1.0))
+    pk = mp[k_star]
+
+    # --- 3. circumcenter determinant formula (cpp:787-809) ---
+    a = pj[0] - pi[0]
+    b = pj[1] - pi[1]
+    c = pk[0] - pi[0]
+    d = pk[1] - pi[1]
+    e = a * (pi[0] + pj[0]) + b * (pi[1] + pj[1])
+    f = c * (pi[0] + pk[0]) + d * (pi[1] + pk[1])
+    g = 2.0 * (a * (pk[1] - pj[1]) - b * (pk[0] - pj[0]))
+    collinear = g == 0.0
+    g_safe = jnp.where(collinear, 1.0, g)
+    cx = jnp.where(collinear, pi[0], (d * e - b * f) / g_safe)
+    cy = jnp.where(collinear, pi[1], (a * f - c * e) / g_safe)
+    return jnp.stack([cx, cy])
+
+
+def circumcenter_features(
+    pts: jnp.ndarray,
+    members: jnp.ndarray,
+    member_mask: jnp.ndarray,
+    cluster_valid: jnp.ndarray,
+    t: jnp.ndarray,
+    chunk: int = 8,
+) -> jnp.ndarray:
+    """Compute per-cluster centroids.
+
+    Args:
+      pts: (M, 3) compacted dynamic points.
+      members: (C, P) member indices, member_mask: (C, P).
+      cluster_valid: (C,), t: scalar frame time (seconds since time_init).
+    Returns:
+      (C, 4) [x, y, 0, t] detections (garbage rows where ~cluster_valid).
+    """
+    c, p = members.shape
+    mpts = pts[members]  # (C, P, 3)
+    if c % chunk != 0:
+        chunk = 1
+    mp_r = mpts.reshape(c // chunk, chunk, p, 3)
+    mm_r = member_mask.reshape(c // chunk, chunk, p)
+    xy = jax.lax.map(
+        lambda ab: jax.vmap(_one_cluster)(ab[0], ab[1]), (mp_r, mm_r)
+    ).reshape(c, 2)
+    zeros = jnp.zeros((c, 1), dtype=pts.dtype)
+    tcol = jnp.full((c, 1), t, dtype=pts.dtype)
+    return jnp.concatenate([xy, zeros, tcol], axis=1)

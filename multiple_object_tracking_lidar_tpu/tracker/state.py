@@ -1,0 +1,83 @@
+"""Tracker state pytrees.
+
+The reference keeps its track bank in parallel STL vectors that grow/shrink
+(objIDs, stack_obj, GPs_x/y, colorset — ref: ...lidar.h:106-115) and its
+filters as heap-allocated per-track objects.  The TPU-native design is a
+fixed-capacity struct-of-arrays pytree with an alive mask: birth and death
+are masked writes, the whole bank flows through `jax.jit`, and checkpointing
+is trivial (it's just arrays — the reference had no checkpoint story at all).
+
+Registration-order semantics (the reference iterates objIDs in insertion
+order for greedy association, cpp:184) are preserved with a monotone
+``birth_seq`` per slot: "first registered track that gates" ==
+"gated track with minimal birth_seq".
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class Frame(NamedTuple):
+    """Device-side input contract: fixed-size padded point tensor."""
+
+    points: jax.Array   # (N_max, 3) float32
+    mask: jax.Array     # (N_max,) bool
+    t: jax.Array        # scalar float32 — stamp - time_init (host handles epochs)
+
+
+class TrackBank(NamedTuple):
+    alive: jax.Array      # (K,) bool
+    obj_id: jax.Array     # (K,) int32 — the published id (monotone, cpp:510-511)
+    birth_seq: jax.Array  # (K,) int32 — registration order key
+    window: jax.Array     # (K, L, 4) float32 — x, y, z, t (t in the intensity
+                          #  slot, exactly like the reference, cpp:801)
+    m0: jax.Array         # (K, 2, 2) float32 — carried IHGP filter state per
+                          #  axis {x, y}; see models/ihgp.py module doc
+
+
+class TrackerState(NamedTuple):
+    bank: TrackBank
+    next_obj_num: jax.Array   # scalar int32 (cpp:511)
+    next_birth: jax.Array     # scalar int32
+    spin_counter: jax.Array   # scalar int32 (cpp:547)
+    initialized: jax.Array    # scalar bool — !firstFrame (cpp:126)
+
+
+class FrameOutput(NamedTuple):
+    """Per-frame result, fixed shapes (C_max detection slots)."""
+
+    publish: jax.Array    # scalar bool — whether the reference would publish
+    valid: jax.Array      # (C,) detection slot carries a tracked object
+    obj_id: jax.Array     # (C,) int32
+    pos: jax.Array        # (C, 2) filtered position
+    vel: jax.Array        # (C, 2) filtered, clamped velocity
+    raw_centroid: jax.Array  # (C, 4) cluster circumcenter detections [x,y,0,t]
+    new_track: jax.Array  # (C,) bool — this detection registered a new track
+    # pipeline stats (for observability; all scalars)
+    n_points: jax.Array
+    n_voxels: jax.Array
+    n_dynamic: jax.Array
+    n_clusters: jax.Array
+    n_alive: jax.Array
+    overflow: jax.Array   # detections dropped because the bank was full
+
+
+def init_state(k_max: int, data_length: int, dtype=jnp.float32) -> TrackerState:
+    bank = TrackBank(
+        alive=jnp.zeros(k_max, dtype=bool),
+        obj_id=jnp.full(k_max, -1, dtype=jnp.int32),
+        birth_seq=jnp.full(k_max, 2**30, dtype=jnp.int32),
+        window=jnp.zeros((k_max, data_length, 4), dtype=dtype),
+        m0=jnp.zeros((k_max, 2, 2), dtype=dtype),
+    )
+    return TrackerState(
+        bank=bank,
+        next_obj_num=jnp.int32(0),
+        next_birth=jnp.int32(0),
+        spin_counter=jnp.int32(0),
+        initialized=jnp.bool_(False),
+    )
