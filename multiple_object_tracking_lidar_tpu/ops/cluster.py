@@ -51,8 +51,14 @@ def _pairwise_adjacency(pts: jnp.ndarray, mask: jnp.ndarray, tol: float) -> jnp.
     c = (pts * mask[:, None]).sum(0) / denom
     p = jnp.where(mask[:, None], pts - c, 0.0)
     sq = (p * p).sum(axis=1)
+    # HIGHEST precision: the boundary test d2 <= tol^2 must be true f32 math,
+    # not the default bf16 MXU passes (exactness to ~1 ulp of f32 here).
     gram = jax.lax.dot_general(
-        p, p, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        p,
+        p,
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     d2 = sq[:, None] + sq[None, :] - 2.0 * gram
     adj = d2 <= jnp.float32(tol * tol)
