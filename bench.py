@@ -1,0 +1,117 @@
+"""Throughput benchmark: clouds/sec at 100k points/frame, single chip.
+
+Prints ONE JSON line:
+  {"metric": "clouds_per_sec_100k_pts", "value": N, "unit": "clouds/s",
+   "vs_baseline": N/1000}
+
+Baseline context (BASELINE.md): the reference is designed for 10 Hz on CPU
+(<= 100 ms/frame); this repo's north-star is >= 1000 clouds/sec per TPU chip
+at 100k pts/frame.  The measurement drives the full fused step (voxel ->
+static mask -> cluster -> circumcenter -> associate -> IHGP) with the track
+state donated and frames pre-staged on device, cycling through a ring of
+distinct frames so no stage is constant-folded.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main() -> None:
+    from __graft_entry__ import _bench_config
+    from multiple_object_tracking_lidar_tpu.io.scenario import Scenario, ScenarioObject
+    from multiple_object_tracking_lidar_tpu.ops.static_mask import build_static_mask
+    from multiple_object_tracking_lidar_tpu.tracker.pipeline import Tracker, _step_impl
+    from multiple_object_tracking_lidar_tpu.tracker.state import Frame
+    from multiple_object_tracking_lidar_tpu.utils.pgm import load_map_yaml
+    import os
+    import subprocess
+    import sys
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    ymap = os.path.join(here, "assets", "sim_map.yaml")
+    if not os.path.exists(ymap):
+        subprocess.run(
+            [sys.executable, os.path.join(here, "assets", "make_fixture_map.py")],
+            check=True,
+        )
+    grid = load_map_yaml(ymap)
+
+    cfg = _bench_config()
+    n_pts = cfg.caps.n_max_points  # 131072 staged; 100k valid per frame
+    n_valid = 100_000
+
+    tracker = Tracker(cfg)
+    env = build_static_mask(grid, cfg.static_tolarance, cfg.occupied_threshold)
+
+    # a realistic 100k-pt LiDAR frame mix: mostly static wall returns, three
+    # moving objects, some free-space clutter
+    sc = Scenario(
+        grid=grid,
+        objects=[
+            ScenarioObject(0.0, 1.0, 0.0, 0.45, points_per_frame=1500),
+            ScenarioObject(-0.8, 4.0, 0.35, 0.0, points_per_frame=1500),
+            ScenarioObject(0.9, 6.5, -0.25, 0.25, points_per_frame=1500),
+        ],
+        static_points_per_frame=n_valid - 3 * 1500 - 2000,
+        clutter_points=2000,
+        seed=123,
+    )
+
+    n_ring = 8
+    frames = []
+    for k in range(n_ring):
+        pts, t = sc.frame_arrays(k)
+        buf = np.zeros((n_pts, 3), np.float32)
+        buf[: len(pts)] = pts[:n_pts]
+        mask = np.zeros(n_pts, bool)
+        mask[: min(len(pts), n_pts)] = True
+        frames.append(
+            Frame(
+                points=jax.device_put(jnp.asarray(buf)),
+                mask=jax.device_put(jnp.asarray(mask)),
+                t=jnp.float32(t),
+            )
+        )
+
+    step = jax.jit(
+        partial(_step_impl, config=cfg, gains_xy=tracker.gains_xy),
+        donate_argnums=(0,),
+    )
+
+    # warmup / compile
+    state = tracker.init_state()
+    for k in range(3):
+        state, out = step(state, frames[k % n_ring], env)
+    jax.block_until_ready(out)
+
+    # timed
+    n_iters = 200
+    state = tracker.init_state()
+    t0 = time.perf_counter()
+    for k in range(n_iters):
+        state, out = step(state, frames[k % n_ring], env)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    clouds_per_sec = n_iters / dt
+    print(
+        json.dumps(
+            {
+                "metric": "clouds_per_sec_100k_pts",
+                "value": round(clouds_per_sec, 2),
+                "unit": "clouds/s",
+                "vs_baseline": round(clouds_per_sec / 1000.0, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

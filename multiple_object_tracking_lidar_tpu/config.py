@@ -63,6 +63,10 @@ class Capacities:
     k_max_tracks: int = 64          # live tracks in the bank
     label_prop_iters: int = 32      # outer label-propagation sweeps (cap)
     pointer_jumps: int = 4          # pointer-jumping rounds per sweep
+    max_dup_passes: int = 3         # exact replication of the reference's
+                                    # repeated GP runs when <= N detections
+                                    # match one track in a frame (cpp quirk);
+                                    # more duplicates than this are approximated
 
 
 @dataclasses.dataclass(frozen=True)

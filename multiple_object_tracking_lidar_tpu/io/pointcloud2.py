@@ -97,12 +97,21 @@ def decode_pointcloud2(
     msg: PointCloud2,
     n_max: int,
     drop_nonfinite: bool = True,
+    use_native: bool = True,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Decode to a padded ``(n_max, 3) float32`` array + ``(n_max,) bool`` mask.
 
     Non-finite points are dropped (PCL's NaN handling for not-dense clouds).
     Overflow beyond ``n_max`` is truncated (reported by the runtime's stats).
+    Uses the native C++ decoder (native/motl_host.cpp) for the canonical
+    float32 XYZ layout when the shared library is built; NumPy otherwise.
     """
+    if use_native and drop_nonfinite:
+        from multiple_object_tracking_lidar_tpu.io import native as _native
+
+        res = _native.decode_pc2_native(msg, n_max)
+        if res is not None:
+            return res
     n = msg.n_points
     raw = np.frombuffer(msg.data, dtype=np.uint8)
     raw = raw[: n * msg.point_step].reshape(n, msg.point_step)

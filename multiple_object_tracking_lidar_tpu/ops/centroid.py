@@ -46,7 +46,7 @@ def _one_cluster(mp: jnp.ndarray, mm: jnp.ndarray) -> jnp.ndarray:
     ey = pj[1] - pi[1]
     cross = jnp.abs(ex * (mp[:, 1] - pi[1]) - ey * (mp[:, 0] - pi[0]))
     norm = jnp.sqrt(ex * ex + ey * ey)
-    line_d = cross / jnp.maximum(norm, jnp.float32(1e-30))
+    line_d = cross / jnp.maximum(norm, jnp.asarray(1e-30, mp.dtype))
     eq_i = jnp.all(mp == pi, axis=1)
     eq_j = jnp.all(mp == pj, axis=1)
     k_mask = mm & ~eq_i & ~eq_j

@@ -57,11 +57,11 @@ def _pairwise_adjacency(pts: jnp.ndarray, mask: jnp.ndarray, tol: float) -> jnp.
         p,
         p,
         (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=p.dtype,
         precision=jax.lax.Precision.HIGHEST,
     )
     d2 = sq[:, None] + sq[None, :] - 2.0 * gram
-    adj = d2 <= jnp.float32(tol * tol)
+    adj = d2 <= jnp.asarray(tol * tol, p.dtype)
     return adj & mask[:, None] & mask[None, :]
 
 

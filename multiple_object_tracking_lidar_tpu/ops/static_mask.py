@@ -79,8 +79,9 @@ def remove_static(
     Returns the keep-mask (True = dynamic point to keep).
     """
     h, w = env.dilated.shape
-    x_map = points[:, 0] - env.origin_x
-    y_map = points[:, 1] - env.origin_y
+    # grid math always in f32, matching the reference's C float arithmetic
+    x_map = points[:, 0].astype(jnp.float32) - env.origin_x
+    y_map = points[:, 1].astype(jnp.float32) - env.origin_y
     # rotate by -yaw and quantize with C truncation toward zero (cpp:677-678)
     col_f = (env.cos_nyaw * x_map - env.sin_nyaw * y_map) * env.inv_resolution
     row_f = (env.sin_nyaw * x_map + env.cos_nyaw * y_map) * env.inv_resolution

@@ -39,30 +39,29 @@ def grid_shape(scene: SceneBounds, leaf_xy: float, leaf_z: float) -> tuple[int, 
 
 
 def _quantize(points, leaf_xy, leaf_z):
-    inv_xy = 1.0 / leaf_xy
-    inv_z = 1.0 / leaf_z
-    ix = jnp.floor(points[:, 0] * inv_xy).astype(jnp.int32)
-    iy = jnp.floor(points[:, 1] * inv_xy).astype(jnp.int32)
-    iz = jnp.floor(points[:, 2] * inv_z).astype(jnp.int32)
+    # Quantization is ALWAYS f32 multiply-by-inverse + floor: PCL computes
+    # voxel indices in float with a precomputed inverse leaf, and the C++
+    # reference is float throughout — boundary behavior must not depend on
+    # the pipeline's compute dtype.
+    p32 = points.astype(jnp.float32)
+    inv_xy = jnp.float32(1.0 / leaf_xy)
+    inv_z = jnp.float32(1.0 / leaf_z)
+    ix = jnp.floor(p32[:, 0] * inv_xy).astype(jnp.int32)
+    iy = jnp.floor(p32[:, 1] * inv_xy).astype(jnp.int32)
+    iz = jnp.floor(p32[:, 2] * inv_z).astype(jnp.int32)
     return ix, iy, iz
 
 
-def voxel_downsample_dense(
+def voxel_accumulate(
     points: jnp.ndarray,
     mask: jnp.ndarray,
     scene: SceneBounds,
     leaf_xy: float,
     leaf_z: float,
-    m_max: int,
-) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Dense-grid voxel centroid downsample.
-
-    Args:
-      points: (N, 3) float32 padded points.
-      mask: (N,) validity.
-    Returns:
-      (m_max, 3) voxel centroids, (m_max,) mask, n_voxels scalar.
-    """
+) -> jnp.ndarray:
+    """Scatter-add points into the dense (n_cells, 4) [sum_xyz, count]
+    accumulator.  Additive — partial accumulators from point shards on
+    different devices combine with one `psum` (see parallel/sharding.py)."""
     gx, gy, gz = grid_shape(scene, leaf_xy, leaf_z)
     n_cells = gx * gy * gz
     bx = math.floor(scene.x_min / leaf_xy)
@@ -86,8 +85,14 @@ def voxel_downsample_dense(
     vals = jnp.concatenate([points * w[:, None], w[:, None]], axis=1)  # (N,4)
     acc = jnp.zeros((n_cells + 1, 4), dtype=points.dtype)
     acc = acc.at[lin].add(vals, mode="drop")
-    acc = acc[:n_cells]
+    return acc[:n_cells]
 
+
+def voxel_finalize(
+    acc: jnp.ndarray, m_max: int
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Dense accumulator -> compacted (m_max, 3) voxel centroids."""
+    n_cells = acc.shape[0]
     occupied = acc[:, 3] > 0
     centroids_full = acc[:, :3] / jnp.maximum(acc[:, 3:4], 1.0)
 
@@ -95,9 +100,21 @@ def voxel_downsample_dense(
     pos = jnp.cumsum(occupied.astype(jnp.int32)) - 1
     n_vox = jnp.where(n_cells > 0, pos[-1] + 1, 0)
     slot = jnp.where(occupied & (pos < m_max), pos, m_max)
-    out = jnp.zeros((m_max + 1, 3), dtype=points.dtype).at[slot].set(centroids_full, mode="drop")
+    out = jnp.zeros((m_max + 1, 3), dtype=acc.dtype).at[slot].set(centroids_full, mode="drop")
     out_mask = jnp.zeros(m_max + 1, dtype=bool).at[slot].set(occupied, mode="drop")
     return out[:m_max], out_mask[:m_max], n_vox
+
+
+def voxel_downsample_dense(
+    points: jnp.ndarray,
+    mask: jnp.ndarray,
+    scene: SceneBounds,
+    leaf_xy: float,
+    leaf_z: float,
+    m_max: int,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Dense-grid voxel centroid downsample (accumulate + finalize)."""
+    return voxel_finalize(voxel_accumulate(points, mask, scene, leaf_xy, leaf_z), m_max)
 
 
 def voxel_downsample_sort(

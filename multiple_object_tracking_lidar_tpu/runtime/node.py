@@ -1,0 +1,150 @@
+"""Host runtime shell — the framework's equivalent of the ROS node.
+
+Mirrors the reference's process shell (ref: src/multiple_object_tracking_lidar_node.cpp:4-33,
+initialize/spinNode cpp:53-121): two input callbacks (map, pointcloud), three
+output streams (obstacles, markers, pose cloud), a fixed-rate loop, and the
+time_init epoch fixups of cloudCallback (cpp:132-139).
+
+The device boundary is explicit: `on_pointcloud` decodes bytes to the padded
+frame tensor (H2D), calls the jitted step, and only materializes the small
+output tensors (D2H).  Everything else — including the "no map yet" gate
+(cpp:128-131) and per-track color registry (glibc rand parity) — is host code.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable
+
+import jax
+import numpy as np
+
+from multiple_object_tracking_lidar_tpu.config import TrackerConfig
+from multiple_object_tracking_lidar_tpu.io.pointcloud2 import PointCloud2, decode_pointcloud2
+from multiple_object_tracking_lidar_tpu.ops.static_mask import MapEnv, build_static_mask
+from multiple_object_tracking_lidar_tpu.outputs.messages import build_outputs
+from multiple_object_tracking_lidar_tpu.tracker.pipeline import Tracker
+from multiple_object_tracking_lidar_tpu.tracker.state import Frame
+from multiple_object_tracking_lidar_tpu.utils.colors import GlibcRand
+from multiple_object_tracking_lidar_tpu.utils.pgm import OccupancyGrid
+
+
+@dataclasses.dataclass
+class FrameStats:
+    t: float
+    wall_ms: float
+    n_points: int
+    n_voxels: int
+    n_dynamic: int
+    n_clusters: int
+    n_alive: int
+    overflow: int
+
+
+class TrackerNode:
+    def __init__(
+        self,
+        config: TrackerConfig,
+        on_obstacles: Callable | None = None,
+        on_markers: Callable | None = None,
+        on_pose: Callable | None = None,
+    ):
+        self.config = config
+        self.tracker = Tracker(config)
+        self.state = self.tracker.init_state()
+        self.env: MapEnv | None = None
+        self.time_init: float = time.time()  # cpp:74 — now() at init
+        self._rand = GlibcRand(config.color_seed)  # cpp:75
+        self.colors: dict[int, tuple[float, float, float, float]] = {}
+        self._known_ids = 0
+        self.on_obstacles = on_obstacles
+        self.on_markers = on_markers
+        self.on_pose = on_pose
+        self.stats: list[FrameStats] = []
+
+    # -- map callback (cpp:235-251) -----------------------------------------
+    def on_map(self, grid: OccupancyGrid) -> None:
+        self.env = build_static_mask(
+            grid, self.config.static_tolarance, self.config.occupied_threshold
+        )
+
+    # -- pointcloud callback (cpp:123-233) ----------------------------------
+    def on_pointcloud(self, msg: PointCloud2):
+        if self.env is None:
+            return None  # map not initialized: skip (cpp:128-131)
+
+        stamp = msg.stamp
+        if stamp < 1.0e9:
+            # simulator clock (small stamps): epoch 0 ... then the negative-
+            # offset fixup pins time_init to the first stamp (cpp:132-139)
+            if stamp - self.time_init < 0:
+                self.time_init = stamp
+        t = stamp - self.time_init
+
+        t0 = time.perf_counter()
+        pts, mask = decode_pointcloud2(msg, self.config.caps.n_max_points)
+        frame = Frame(points=pts, mask=mask, t=np.float32(t))
+        self.state, out = self.tracker.step(self.state, frame, self.env)
+        out = jax.tree.map(np.asarray, out)
+        wall_ms = 1e3 * (time.perf_counter() - t0)
+
+        self.stats.append(
+            FrameStats(
+                t=t,
+                wall_ms=wall_ms,
+                n_points=int(out.n_points),
+                n_voxels=int(out.n_voxels),
+                n_dynamic=int(out.n_dynamic),
+                n_clusters=int(out.n_clusters),
+                n_alive=int(out.n_alive),
+                overflow=int(out.overflow),
+            )
+        )
+
+        # per-track colors in registration order (cpp:537-542)
+        self._refresh_colors(int(self.state.next_obj_num))
+
+        if not bool(out.publish):
+            return None
+
+        ids = [int(out.obj_id[i]) for i in range(len(out.valid)) if out.valid[i]]
+        sel = [i for i in range(len(out.valid)) if out.valid[i]]
+        obstacles, markers, pose = build_outputs(
+            stamp=stamp,
+            frame_id=msg.frame_id,
+            ids=ids,
+            positions=out.pos[sel],
+            velocities=out.vel[sel],
+            colors=self.colors,
+            obstacle_radius=self.config.obstacle_radius,
+        )
+        if self.on_obstacles:
+            self.on_obstacles(obstacles)
+        if self.on_markers:
+            self.on_markers(markers)
+        if self.on_pose:
+            self.on_pose(pose)
+        return obstacles, markers, pose
+
+    def _refresh_colors(self, n_ids: int) -> None:
+        while self._known_ids < n_ids:
+            r = np.float32(self._rand.rand()) / np.float32(2147483647)
+            g = np.float32(self._rand.rand()) / np.float32(2147483647)
+            b = np.float32(self._rand.rand()) / np.float32(2147483647)
+            self.colors[self._known_ids] = (float(r), float(g), float(b), 0.8)
+            self._known_ids += 1
+
+    # -- fixed-rate replay loop (spinNode, cpp:117-121) ----------------------
+    def run(self, frames, realtime: bool = False):
+        """Drive the node from any iterable of PointCloud2 frames (a "bag")."""
+        results = []
+        period = 1.0 / self.config.frequency
+        for msg in frames:
+            t0 = time.perf_counter()
+            results.append(self.on_pointcloud(msg))
+            if realtime:
+                leftover = period - (time.perf_counter() - t0)
+                if leftover > 0:
+                    time.sleep(leftover)
+        return results

@@ -34,7 +34,7 @@ from multiple_object_tracking_lidar_tpu.ops.centroid import circumcenter_feature
 from multiple_object_tracking_lidar_tpu.ops.cluster import euclidean_cluster
 from multiple_object_tracking_lidar_tpu.ops.compact import compact_points
 from multiple_object_tracking_lidar_tpu.ops.static_mask import MapEnv, remove_static
-from multiple_object_tracking_lidar_tpu.ops.voxel import voxel_downsample_dense
+from multiple_object_tracking_lidar_tpu.ops.voxel import voxel_accumulate, voxel_finalize
 from multiple_object_tracking_lidar_tpu.tracker.state import (
     Frame,
     FrameOutput,
@@ -92,21 +92,45 @@ def _step_impl(
     config: TrackerConfig,
     gains_xy: dict,
 ) -> tuple[TrackerState, FrameOutput]:
-    caps = config.caps
-    dtype = jnp.dtype(config.dtype)
-    L = config.data_length
-    dt_gp = config.dt_gp
-
-    # ---- P E R C E P T I O N ------------------------------------------------
     # 1. voxel downsample, leaf (V, V, 20V) (cpp:452-456)
-    vox, vox_mask, n_vox = voxel_downsample_dense(
-        frame.points,
+    acc = voxel_accumulate(
+        frame.points.astype(jnp.dtype(config.dtype)),
         frame.mask,
         config.scene,
         config.voxel_leaf_size,
         config.leaf_z,
-        caps.m_max_voxels,
     )
+    return step_from_voxel_acc(
+        state,
+        acc,
+        frame.t,
+        frame.mask.sum(),
+        env,
+        config=config,
+        gains_xy=gains_xy,
+    )
+
+
+def step_from_voxel_acc(
+    state: TrackerState,
+    acc: jax.Array,
+    t: jax.Array,
+    n_points: jax.Array,
+    env: MapEnv,
+    *,
+    config: TrackerConfig,
+    gains_xy: dict,
+) -> tuple[TrackerState, FrameOutput]:
+    """Everything after voxel accumulation.  Split out so a point-sharded
+    deployment can `psum` partial voxel accumulators over a mesh axis and run
+    the (small) remainder replicated — see parallel/sharding.py."""
+    caps = config.caps
+    dtype = jnp.dtype(config.dtype)
+    L = config.data_length
+    dt_gp = config.dt_gp
+    frame = None  # guard: everything below must come from acc/t/n_points
+
+    vox, vox_mask, n_vox = voxel_finalize(acc, caps.m_max_voxels)
 
     # 2. static removal: one gather into the precomputed dilated map mask
     #    (cpp:664-706), then order-preserving compaction to the cluster set
@@ -128,7 +152,7 @@ def _step_impl(
 
     # 4. circumcenter features (cpp:708-822)
     dets = circumcenter_features(
-        pts, clusters.members, clusters.member_mask, clusters.cluster_valid, frame.t
+        pts, clusters.members, clusters.member_mask, clusters.cluster_valid, t
     ).astype(dtype)
     det_valid = clusters.cluster_valid
 
@@ -150,7 +174,14 @@ def _step_impl(
     )
     bank = assoc.bank
 
-    # ---- F I L T E R I N G  (whole bank, one dispatch) ----------------------
+    # ---- F I L T E R I N G  (whole bank, one dispatch per pass) -------------
+    # The reference runs callIHGP once PER ENTRY of this_objIDs (cpp:629-659);
+    # when several detections matched the same track (its no-claimed-set
+    # quirk), the GP runs repeatedly over the same window, chaining the
+    # carried state `m`, and each duplicate publishes the output of ITS pass.
+    # We reproduce that with `max_dup_passes` chained batch passes and a
+    # per-detection ordinal selecting which pass a detection reads.
+    k_max = bank.alive.shape[0]
     win_xy = bank.window[:, :, :2]                         # (K, L, 2)
     vels = (win_xy[:, 1:, :] - win_xy[:, :-1, :]) / jnp.asarray(dt_gp, dtype)
     vmean = vels.mean(axis=1)                              # (K, 2) (cpp:887-898,
@@ -158,36 +189,59 @@ def _step_impl(
     #   UB; zero is the de-facto behavior, SURVEY C16)
     y_vel = jnp.moveaxis(vels - vmean[:, None, :], -1, 1)  # (K, 2, L-1)
 
-    if config.position_filter == "ihgp":
-        # present-but-disabled reference mode (IHGP_fixed_pos, cpp:835-869):
-        # position filter runs first and the velocity filter chains off its
-        # final state — the reference reuses the same GP objects sequentially.
-        pmean = win_xy[:, -1, :]                           # mean = last value (cpp:847)
-        y_pos = jnp.moveaxis(win_xy - pmean[:, None, :], -1, 1)
-        eft_pos, m_mid = ihgp_batch(y_pos, bank.m0, gains_xy)
-        pos_all = eft_pos[:, :, -1] + pmean
-        eft_vel, m_new = ihgp_batch(y_vel, m_mid, gains_xy)
-    else:
-        # default: LPF position (cpp:638, 824-833)
-        pos_all = lpf_pos(bank.window, config.lpf_tau, dt_gp)
-        eft_vel, m_new = ihgp_batch(y_vel, bank.m0, gains_xy)
+    lpf_all = lpf_pos(bank.window, config.lpf_tau, dt_gp)  # (cpp:638, 824-833)
+    pmean = win_xy[:, -1, :]                               # mean = last value (cpp:847)
+    y_pos = jnp.moveaxis(win_xy - pmean[:, None, :], -1, 1)
 
-    vel_all = eft_vel[:, :, -1] + vmean                    # (K, 2)
+    def one_pass(m_in):
+        if config.position_filter == "ihgp":
+            # present-but-disabled reference mode (IHGP_fixed_pos, cpp:835-869):
+            # the position filter runs first and the velocity filter chains off
+            # its state — the reference reuses the same GP objects sequentially.
+            eft_pos, m_mid = ihgp_batch(y_pos, m_in, gains_xy)
+            pos = eft_pos[:, :, -1] + pmean
+            eft_vel, m_out = ihgp_batch(y_vel, m_mid, gains_xy)
+        else:
+            pos = lpf_all
+            eft_vel, m_out = ihgp_batch(y_vel, m_in, gains_xy)
+        vel = eft_vel[:, :, -1] + vmean
+        # velocity clamp, NaN-preserving like the C++ if-chain (cpp:649-654)
+        vmax = jnp.asarray(config.max_velocity, dtype)
+        vel = jnp.where(vel > vmax, vmax, jnp.where(vel < -vmax, -vmax, vel))
+        return pos, vel, m_out
 
-    # velocity clamp, NaN-preserving like the C++ if-chain (cpp:649-654)
-    vmax = jnp.asarray(config.max_velocity, dtype)
-    vel_all = jnp.where(vel_all > vmax, vmax, jnp.where(vel_all < -vmax, -vmax, vel_all))
+    n_pass = max(1, int(getattr(caps, "max_dup_passes", 3)))
+    pos_p, vel_p, m_p = [], [], [bank.m0]
+    for _ in range(n_pass):
+        p_, v_, m_ = one_pass(m_p[-1])
+        pos_p.append(p_)
+        vel_p.append(v_)
+        m_p.append(m_)
+    pos_s = jnp.stack(pos_p)          # (P, K, 2)
+    vel_s = jnp.stack(vel_p)          # (P, K, 2)
+    m_s = jnp.stack(m_p)              # (P+1, K, 2, 2)
 
-    # persist GP state only for tracks touched this frame, in steady state
-    touched = jnp.zeros(bank.alive.shape[0], dtype=bool).at[assoc.det_slot].set(
-        assoc.det_ok & steady, mode="drop"
-    )
-    m0 = jnp.where(touched[:, None, None], m_new, bank.m0)
+    # detection multiplicity per slot and per-detection ordinal
+    det_active = assoc.det_ok & steady
+    onehot = (
+        assoc.det_slot[:, None] == jnp.arange(k_max, dtype=jnp.int32)[None, :]
+    ) & det_active[:, None]                                # (D, K)
+    mult = onehot.sum(0)                                   # (K,)
+    ordinal = jnp.take_along_axis(
+        jnp.cumsum(onehot.astype(jnp.int32), axis=0) - 1,
+        assoc.det_slot[:, None],
+        axis=1,
+    )[:, 0]                                                # (D,)
+    ordinal = jnp.clip(ordinal, 0, n_pass - 1)
+
+    pos_det = pos_s[ordinal, assoc.det_slot]               # (D, 2)
+    vel_det = vel_s[ordinal, assoc.det_slot]
+    m0 = m_s[jnp.clip(mult, 0, n_pass), jnp.arange(k_max)]  # (K, 2, 2)
 
     # ---- E X P I R Y  (cpp:545-584) ----------------------------------------
     spin = state.spin_counter + steady.astype(jnp.int32)
     do_prune = spin > jnp.int32(config.prune_period * config.frequency)
-    stale = (frame.t - bank.window[:, L - 1, 3]) > config.prune_period
+    stale = (jnp.asarray(t, dtype) - bank.window[:, L - 1, 3]) > config.prune_period
     alive = jnp.where(do_prune & steady, bank.alive & ~stale, bank.alive)
     spin = jnp.where(do_prune & steady, 0, spin)
 
@@ -204,11 +258,11 @@ def _step_impl(
         publish=steady,
         valid=assoc.det_ok & steady,
         obj_id=assoc.det_id,
-        pos=pos_all[assoc.det_slot],
-        vel=vel_all[assoc.det_slot],
+        pos=pos_det,
+        vel=vel_det,
         raw_centroid=dets,
         new_track=assoc.det_new,
-        n_points=frame.mask.sum(),
+        n_points=n_points,
         n_voxels=n_vox,
         n_dynamic=n_dyn,
         n_clusters=clusters.n_clusters,

@@ -1,0 +1,70 @@
+"""Multi-chip sharding on the CPU-emulated 8-device mesh (SURVEY §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multiple_object_tracking_lidar_tpu.config import Capacities, TrackerConfig
+from multiple_object_tracking_lidar_tpu.ops.static_mask import build_static_mask
+from multiple_object_tracking_lidar_tpu.parallel.sharding import ShardedTracker, make_mesh
+from multiple_object_tracking_lidar_tpu.tracker.pipeline import Tracker
+from multiple_object_tracking_lidar_tpu.tracker.state import Frame
+
+
+def _cfg():
+    return TrackerConfig(
+        voxel_leaf_size=0.1,
+        data_length=6,
+        caps=Capacities(
+            n_max_points=512,
+            m_max_voxels=256,
+            m_max_dynamic=128,
+            c_max_clusters=8,
+            p_max_cluster=32,
+            k_max_tracks=8,
+        ),
+    )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
+def test_sharded_fleet_matches_single_device(fixture_map, rng):
+    cfg = _cfg()
+    tracker = Tracker(cfg)
+    env = build_static_mask(fixture_map, cfg.static_tolarance, cfg.occupied_threshold)
+    mesh = make_mesh(4, 2)
+    st = ShardedTracker(tracker, mesh)
+
+    b, n = 8, cfg.caps.n_max_points
+    points = np.stack(
+        [
+            rng.uniform(-2.0, 2.0, (b, n)),
+            rng.uniform(-1.0, 9.0, (b, n)),
+            rng.uniform(0.0, 1.0, (b, n)),
+        ],
+        axis=2,
+    ).astype(np.float32)
+    mask = np.ones((b, n), bool)
+    t = np.full(b, 0.1, np.float32)
+
+    bstate = st.init_state(b)
+    bstate, bout = st.step(bstate, jnp.asarray(points), jnp.asarray(mask), jnp.asarray(t), env)
+    bout = jax.tree.map(np.asarray, bout)
+
+    # reference: per-stream single-device steps
+    for i in range(b):
+        s = tracker.init_state()
+        f = Frame(points=jnp.asarray(points[i]), mask=jnp.asarray(mask[i]), t=jnp.float32(0.1))
+        s, out = tracker.step(s, f, env)
+        out = jax.tree.map(np.asarray, out)
+        assert int(bout.n_clusters[i]) == int(out.n_clusters)
+        assert int(bout.n_dynamic[i]) == int(out.n_dynamic)
+        np.testing.assert_array_equal(bout.obj_id[i], out.obj_id)
+        np.testing.assert_allclose(bout.raw_centroid[i], out.raw_centroid, atol=1e-5)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
+def test_dryrun_multichip_entrypoint():
+    import __graft_entry__
+
+    __graft_entry__.dryrun_multichip(8)
