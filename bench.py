@@ -59,8 +59,8 @@ def main() -> None:
             ScenarioObject(-0.8, 4.0, 0.35, 0.0, points_per_frame=1500),
             ScenarioObject(0.9, 6.5, -0.25, 0.25, points_per_frame=1500),
         ],
-        static_points_per_frame=n_valid - 3 * 1500 - 2000,
-        clutter_points=2000,
+        static_points_per_frame=n_valid - 3 * 1500 - 300,
+        clutter_points=300,  # sparse: clutter must not bridge object clusters
         seed=123,
     )
 

@@ -222,6 +222,81 @@ def ihgp_batch(y: jax.Array, m0: jax.Array, gains_xy: dict) -> tuple[jax.Array, 
 
 
 # ---------------------------------------------------------------------------
+# Closed-form weights: the stationary smoother is LTI, so it IS a matrix
+# ---------------------------------------------------------------------------
+
+def smoother_weights(gains: IHGPGains, length: int) -> dict:
+    """Collapse the stationary forward filter + backward RTS smoother over a
+    fixed-length window into precomputed linear maps (host, float64).
+
+    The per-frame computation the reference performs with per-sample loops
+    (update() x L then getEft(), cpp:132-196) is linear in (y, m0) with
+    CONSTANT matrices — a stationary Kalman smoother is an LTI system.  So:
+
+        eft      = Wy  @ y + Wm  @ m0        (smoothed mean per position)
+        m_carry  = My  @ y + Mm  @ m0        (smoothed head state -> next m0)
+
+    On device the velocity estimate needs only eft[-1]: one dot product per
+    track per axis, a single MXU dispatch for the whole bank — replacing
+    2 x L sequential 2x2 scan steps.  Exact same math, zero recurrences.
+
+    Returns {"Wy": (L, L), "Wm": (L, 2), "My": (2, L), "Mm": (2, 2)}.
+    """
+    A, AKHA, K, G = gains.A, gains.AKHA, gains.K, gains.G
+
+    # forward filter: m_t = AKHA m_{t-1} + K y_t; propagate Jacobians
+    J = np.zeros((length, 2, length))   # dMF[t]/dy
+    B = np.zeros((length, 2, 2))        # dMF[t]/dm0
+    Jp = np.zeros((2, length))
+    Bp = np.eye(2)
+    for t in range(length):
+        Jp = AKHA @ Jp
+        Jp[:, t] += K
+        Bp = AKHA @ Bp
+        J[t] = Jp
+        B[t] = Bp
+
+    # backward smoother: m_s[k] = MF[k] + G (m_s[k+1] - A MF[k])
+    Js = J[-1].copy()
+    Bs = B[-1].copy()
+    Wy = np.zeros((length, length))
+    Wm = np.zeros((length, 2))
+    Wy[-1] = Js[0]
+    Wm[-1] = Bs[0]
+    for k in range(length - 2, -1, -1):
+        Js = J[k] + G @ (Js - A @ J[k])
+        Bs = B[k] + G @ (Bs - A @ B[k])
+        Wy[k] = Js[0]
+        Wm[k] = Bs[0]
+
+    return {"Wy": Wy, "Wm": Wm, "My": Js, "Mm": Bs}
+
+
+def smoother_weights_xy(
+    gains_x: IHGPGains, gains_y: IHGPGains, length: int, dtype=jnp.float32
+) -> dict:
+    """Per-axis weights stacked on a leading {x, y} axis, as device constants."""
+    wx = smoother_weights(gains_x, length)
+    wy = smoother_weights(gains_y, length)
+    return {
+        k: jnp.stack([jnp.asarray(wx[k], dtype), jnp.asarray(wy[k], dtype)])
+        for k in wx
+    }
+
+
+def ihgp_apply_weights(y: jax.Array, m0: jax.Array, w: dict) -> tuple[jax.Array, jax.Array]:
+    """Batched closed-form smoother: y (K, 2, L), m0 (K, 2, 2) ->
+    (eft_last (K, 2), m_carry (K, 2, 2)).  One fused einsum bundle."""
+    eft_last = jnp.einsum("kal,al->ka", y, w["Wy"][:, -1, :]) + jnp.einsum(
+        "kas,as->ka", m0, w["Wm"][:, -1, :]
+    )
+    m_carry = jnp.einsum("kal,asl->kas", y, w["My"]) + jnp.einsum(
+        "kas,ats->kat", m0, w["Mm"]
+    )
+    return eft_last, m_carry
+
+
+# ---------------------------------------------------------------------------
 # Learning mode: marginal likelihood + gradient recursions (cpp:132-162)
 # ---------------------------------------------------------------------------
 

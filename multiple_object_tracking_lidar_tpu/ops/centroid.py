@@ -31,8 +31,17 @@ def _one_cluster(mp: jnp.ndarray, mm: jnp.ndarray) -> jnp.ndarray:
     """mp: (P, 3) member points, mm: (P,) mask -> (2,) circumcenter xy."""
     p = mp.shape[0]
     # --- 1. farthest pair by 3-D distance (cpp:731-759) ---
-    diff = mp[:, None, :] - mp[None, :, :]
-    d2 = (diff * diff).sum(-1)
+    # centered gram trick on the MXU (HIGHEST precision = true f32): the
+    # elementwise (P, P, 3) diff tensor would be 3x the bytes for no FLOP win
+    c = jnp.where(mm.any(), (mp * mm[:, None]).sum(0) / jnp.maximum(mm.sum(), 1), 0.0)
+    pc = jnp.where(mm[:, None], mp - c, 0.0)
+    sq = (pc * pc).sum(-1)
+    gram = jax.lax.dot_general(
+        pc, pc, (((1,), (1,)), ((), ())),
+        preferred_element_type=pc.dtype,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    d2 = sq[:, None] + sq[None, :] - 2.0 * gram
     iu = jnp.arange(p)
     pair_mask = mm[:, None] & mm[None, :] & (iu[:, None] < iu[None, :])
     d2m = jnp.where(pair_mask, d2, -1.0)
@@ -74,7 +83,7 @@ def circumcenter_features(
     member_mask: jnp.ndarray,
     cluster_valid: jnp.ndarray,
     t: jnp.ndarray,
-    chunk: int = 8,
+    chunk: int = 0,
 ) -> jnp.ndarray:
     """Compute per-cluster centroids.
 
@@ -87,13 +96,16 @@ def circumcenter_features(
     """
     c, p = members.shape
     mpts = pts[members]  # (C, P, 3)
-    if c % chunk != 0:
-        chunk = 1
-    mp_r = mpts.reshape(c // chunk, chunk, p, 3)
-    mm_r = member_mask.reshape(c // chunk, chunk, p)
-    xy = jax.lax.map(
-        lambda ab: jax.vmap(_one_cluster)(ab[0], ab[1]), (mp_r, mm_r)
-    ).reshape(c, 2)
+    if chunk <= 0 or c % chunk != 0:
+        # single fused vmap: XLA streams the (C, P, P) distance tensor through
+        # the reductions; no sequential chunk loop
+        xy = jax.vmap(_one_cluster)(mpts, member_mask)
+    else:
+        mp_r = mpts.reshape(c // chunk, chunk, p, 3)
+        mm_r = member_mask.reshape(c // chunk, chunk, p)
+        xy = jax.lax.map(
+            lambda ab: jax.vmap(_one_cluster)(ab[0], ab[1]), (mp_r, mm_r)
+        ).reshape(c, 2)
     zeros = jnp.zeros((c, 1), dtype=pts.dtype)
     tcol = jnp.full((c, 1), t, dtype=pts.dtype)
     return jnp.concatenate([xy, zeros, tcol], axis=1)

@@ -99,8 +99,11 @@ def connected_components(
         _, changed, it = carry
         return changed & (it < max_iters)
 
+    # derive the initial `changed` flag from data so its sharding/varying
+    # type matches the body output under shard_map (always True in value)
+    changed0 = jnp.any(init_labels >= 0)
     labels, _, n_iters = jax.lax.while_loop(
-        cond, body, (init_labels, jnp.bool_(True), jnp.int32(0))
+        cond, body, (init_labels, changed0, jnp.int32(0))
     )
     return labels, n_iters
 

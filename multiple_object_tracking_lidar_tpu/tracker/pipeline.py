@@ -26,7 +26,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from multiple_object_tracking_lidar_tpu.config import TrackerConfig
-from multiple_object_tracking_lidar_tpu.models.ihgp import stationary_gains, ihgp_batch
+from multiple_object_tracking_lidar_tpu.models.ihgp import (
+    ihgp_apply_weights,
+    smoother_weights_xy,
+    stationary_gains,
+)
 from multiple_object_tracking_lidar_tpu.models.lpf import lpf_pos
 from multiple_object_tracking_lidar_tpu.models.matern32 import matern32_from_log
 from multiple_object_tracking_lidar_tpu.ops.assign import associate_and_update
@@ -71,6 +75,10 @@ class Tracker:
             gx.as_jax(dtype),
             gy.as_jax(dtype),
         )
+        # closed-form smoother weights (see models.ihgp.smoother_weights):
+        # the per-frame GP collapses to one matvec per axis on device
+        self.gains_xy["W_vel"] = smoother_weights_xy(gx, gy, config.data_length - 1, dtype)
+        self.gains_xy["W_pos"] = smoother_weights_xy(gx, gy, config.data_length, dtype)
         self._step = jax.jit(partial(_step_impl, config=config, gains_xy=self.gains_xy))
 
     def init_state(self) -> TrackerState:
@@ -198,13 +206,13 @@ def step_from_voxel_acc(
             # present-but-disabled reference mode (IHGP_fixed_pos, cpp:835-869):
             # the position filter runs first and the velocity filter chains off
             # its state — the reference reuses the same GP objects sequentially.
-            eft_pos, m_mid = ihgp_batch(y_pos, m_in, gains_xy)
-            pos = eft_pos[:, :, -1] + pmean
-            eft_vel, m_out = ihgp_batch(y_vel, m_mid, gains_xy)
+            eft_pos_last, m_mid = ihgp_apply_weights(y_pos, m_in, gains_xy["W_pos"])
+            pos = eft_pos_last + pmean
+            eft_vel_last, m_out = ihgp_apply_weights(y_vel, m_mid, gains_xy["W_vel"])
         else:
             pos = lpf_all
-            eft_vel, m_out = ihgp_batch(y_vel, m_in, gains_xy)
-        vel = eft_vel[:, :, -1] + vmean
+            eft_vel_last, m_out = ihgp_apply_weights(y_vel, m_in, gains_xy["W_vel"])
+        vel = eft_vel_last + vmean
         # velocity clamp, NaN-preserving like the C++ if-chain (cpp:649-654)
         vmax = jnp.asarray(config.max_velocity, dtype)
         vel = jnp.where(vel > vmax, vmax, jnp.where(vel < -vmax, -vmax, vel))

@@ -94,6 +94,33 @@ def test_ihgp_batch_shapes(rng):
     np.testing.assert_allclose(np.asarray(eft[3, 1]), np.asarray(eft0), rtol=1e-12)
 
 
+def test_smoother_weights_match_scan(rng):
+    """The closed-form LTI weights must reproduce the scan path exactly:
+    same eft[-1] and same m0 carry, for arbitrary y and m0."""
+    import jax
+
+    from multiple_object_tracking_lidar_tpu.models.ihgp import (
+        ihgp_apply_weights,
+        smoother_weights_xy,
+    )
+
+    gx = stationary_gains(matern32_from_log(-5.5, -3.5, 0.75), 0.1)
+    gy = stationary_gains(matern32_from_log(-5.0, -3.0, 0.5), 0.1)
+    gxy = jax.tree.map(
+        lambda a, b: jnp.stack([a, b]),
+        gx.as_jax(jnp.float64),
+        gy.as_jax(jnp.float64),
+    )
+    w = smoother_weights_xy(gx, gy, 9, jnp.float64)
+
+    y = jnp.asarray(rng.normal(size=(5, 2, 9)))
+    m0 = jnp.asarray(rng.normal(size=(5, 2, 2)) * 0.1)
+    eft_scan, mc_scan = ihgp_batch(y, m0, gxy)
+    eft_w, mc_w = ihgp_apply_weights(y, m0, w)
+    np.testing.assert_allclose(np.asarray(eft_w), np.asarray(eft_scan[:, :, -1]), rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(mc_w), np.asarray(mc_scan), rtol=1e-12, atol=1e-12)
+
+
 def test_nll_grad_finite_difference():
     """The analytic likelihood gradient (cpp:141-154 recursions) must match
     finite differences of the NLL through the full gain computation."""
