@@ -101,6 +101,8 @@ class TrackerConfig:
 
     # --- framework knobs (TPU-native) ---
     position_filter: str = "lpf"         # "lpf" (ref default, cpp:638) | "ihgp" (cpp:639, present-but-disabled mode)
+    association: str = "greedy"          # "greedy" (reference parity, cpp:177-219) |
+                                         # "hungarian" (improved: optimal gated auction assignment)
     dtype: str = "float32"               # device compute dtype
     caps: Capacities = dataclasses.field(default_factory=Capacities)
     scene: SceneBounds = dataclasses.field(default_factory=SceneBounds)
@@ -119,6 +121,8 @@ class TrackerConfig:
         object.__setattr__(self, "static_tolarance", t)
         if self.position_filter not in ("lpf", "ihgp"):
             raise ValueError(f"position_filter must be 'lpf' or 'ihgp', got {self.position_filter!r}")
+        if self.association not in ("greedy", "hungarian"):
+            raise ValueError(f"association must be 'greedy' or 'hungarian', got {self.association!r}")
 
     def replace(self, **kw: Any) -> "TrackerConfig":
         return dataclasses.replace(self, **kw)
@@ -139,7 +143,7 @@ _REF_PARAM_TYPES = {
     "data_length": int, "param_fix": bool,
     "prune_period": float, "interp_gap_factor": float, "max_velocity": float,
     "obstacle_radius": float, "occupied_threshold": int, "color_seed": int,
-    "position_filter": str, "dtype": str,
+    "position_filter": str, "dtype": str, "association": str,
 }
 
 

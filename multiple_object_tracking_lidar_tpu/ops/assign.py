@@ -101,64 +101,146 @@ def associate_and_update(
     idxK = jnp.arange(K, dtype=jnp.int32)
     dtype = bank.window.dtype
 
-    # ---- decision scan: small carry only ------------------------------------
-    def step(carry, xs):
-        alive, obj_id, birth_seq, last_xyt, nobj, nbirth, ovf = carry
-        det, dv = xs
+    # ---- decision scan: ONE packed carry array, ONE packed output row -------
+    # Each sequential iteration costs ~fixed device latency regardless of
+    # size, so the body is op-count-minimized: one (K, 6) f32 carry
+    # [alive, obj_id, birth_seq, x, y, t], one dynamic-update-slice, two
+    # argmins, one any-reduce per detection.
+    fdt = dets.dtype
+    bigf = jnp.asarray(3e38, fdt)
+    idxKf = idxK.astype(fdt)
+    thr = jnp.asarray(id_threshold, fdt)
+    allow_f = (
+        allow_match
+        if isinstance(allow_match, bool)
+        else allow_match.astype(fdt)
+    )
 
-        dx = det[0] - last_xyt[:, 0]
-        dy = det[1] - last_xyt[:, 1]
+    def step(carry, xs):
+        a, nobj, nbirth, ovf = carry          # a: (K, 6) f32
+        det, dv = xs
+        dvf = dv.astype(fdt)
+
+        dx = det[0] - a[:, 3]
+        dy = det[1] - a[:, 4]
         dist = jnp.sqrt(dx * dx + dy * dy)
-        gate = alive & (dist < id_threshold) & allow_match
+        alive = a[:, 0]
+        gate = (alive > 0) & (dist < thr)
+        if isinstance(allow_f, bool):
+            if not allow_f:
+                gate = gate & False
+        else:
+            gate = gate & (allow_f > 0)
         any_match = gate.any()
 
-        # first match in registration order == min birth_seq among gated
-        slot_m = jnp.argmin(jnp.where(gate, birth_seq, _INT_BIG))
-        # registration target: lowest-index free slot
-        slot_n = jnp.argmin(jnp.where(alive, _INT_BIG, idxK))
-        bank_full = alive.all()
+        slot_m = jnp.argmin(jnp.where(gate, a[:, 2], bigf))     # min birth_seq
+        slot_n = jnp.argmin(jnp.where(alive > 0, bigf, idxKf))  # first free
+        bank_full = alive.min() > 0
         slot = jnp.where(any_match, slot_m, slot_n).astype(jnp.int32)
 
-        gap = det[3] - last_xyt[slot, 2]
+        row = a[slot]
+        gap = det[3] - row[5]
         do_interp = any_match & (gap > interp_gap_factor * dt_gp) & (
-            jnp.round(gap / dt_gp).astype(jnp.int32) - 1 >= 1
+            jnp.round(gap / dt_gp) - 1.0 >= 1.0
         )
 
         register = dv & ~any_match & ~bank_full
         matched = dv & any_match
         write = matched | register
+        wf = write.astype(fdt)
+        rf = register.astype(fdt)
 
-        last_xyt = last_xyt.at[slot].set(
-            jnp.where(write, det[jnp.array([0, 1, 3])], last_xyt[slot])
+        new_row = jnp.stack(
+            [
+                jnp.maximum(row[0], rf),                              # alive
+                row[1] * (1.0 - rf) + nobj * rf,                      # obj_id
+                row[2] * (1.0 - rf) + nbirth * rf,                    # birth
+                row[3] * (1.0 - wf) + det[0] * wf,
+                row[4] * (1.0 - wf) + det[1] * wf,
+                row[5] * (1.0 - wf) + det[3] * wf,
+            ]
         )
-        alive = alive.at[slot].set(jnp.where(register, True, alive[slot]))
-        obj_id = obj_id.at[slot].set(jnp.where(register, nobj, obj_id[slot]))
-        birth_seq = birth_seq.at[slot].set(jnp.where(register, nbirth, birth_seq[slot]))
+        a = a.at[slot].set(new_row)
 
-        out_id = jnp.where(
-            matched, obj_id[slot], jnp.where(register, nobj, jnp.int32(-1))
+        out_id = jnp.where(matched, row[1], jnp.where(register, nobj, -1.0))
+        nobj = nobj + rf
+        nbirth = nbirth + rf
+        ovf = ovf + dvf * (1.0 - jnp.asarray(any_match, fdt)) * jnp.asarray(bank_full, fdt)
+        out_row = jnp.stack(
+            [
+                slot.astype(fdt),
+                out_id,
+                rf,
+                wf,
+                (do_interp & write).astype(fdt),
+            ]
         )
-        nobj = nobj + register.astype(jnp.int32)
-        nbirth = nbirth + register.astype(jnp.int32)
-        ovf = ovf + (dv & ~any_match & bank_full).astype(jnp.int32)
+        return (a, nobj, nbirth, ovf), out_row
 
-        return (alive, obj_id, birth_seq, last_xyt, nobj, nbirth, ovf), (
-            slot, out_id, register, write, do_interp & write,
-        )
-
-    last_xyt0 = jnp.stack(
-        [bank.window[:, L - 1, 0], bank.window[:, L - 1, 1], bank.window[:, L - 1, 3]],
+    a0 = jnp.stack(
+        [
+            bank.alive.astype(fdt),
+            bank.obj_id.astype(fdt),
+            bank.birth_seq.astype(fdt),
+            bank.window[:, L - 1, 0].astype(fdt),
+            bank.window[:, L - 1, 1].astype(fdt),
+            bank.window[:, L - 1, 3].astype(fdt),
+        ],
         axis=1,
     )
-    # ovf seed derived from state so its varying-axes type matches the body
-    # output under shard_map/vmap (value is 0)
-    ovf0 = next_obj_num * jnp.int32(0)
-    carry0 = (bank.alive, bank.obj_id, bank.birth_seq, last_xyt0, next_obj_num, next_birth, ovf0)
-    carry, (slots, ids, news, oks, interps) = jax.lax.scan(step, carry0, (dets, det_valid))
-    alive, obj_id, birth_seq, _, nobj, nbirth, ovf = carry
-    slots = slots.astype(jnp.int32)
+    carry0 = (
+        a0,
+        next_obj_num.astype(fdt),
+        next_birth.astype(fdt),
+        next_obj_num.astype(fdt) * 0.0,  # ovf seed, varying-typed
+    )
+    (a_fin, nobj_f, nbirth_f, ovf_f), outs = jax.lax.scan(
+        step, carry0, (dets, det_valid), unroll=4
+    )
+    alive = a_fin[:, 0] > 0
+    obj_id = a_fin[:, 1].astype(jnp.int32)
+    birth_seq = a_fin[:, 2].astype(jnp.int32)
+    nobj = nobj_f.astype(jnp.int32)
+    nbirth = nbirth_f.astype(jnp.int32)
+    ovf = ovf_f.astype(jnp.int32)
+    slots = outs[:, 0].astype(jnp.int32)
+    ids = outs[:, 1].astype(jnp.int32)
+    news = outs[:, 2] > 0
+    oks = outs[:, 3] > 0
+    interps = outs[:, 4] > 0
 
-    # ---- vectorized window rebuild ------------------------------------------
+    window, m0 = apply_window_updates(bank, dets, slots, oks, news, interps, dt_gp)
+
+    return AssocResult(
+        bank=TrackBank(alive=alive, obj_id=obj_id, birth_seq=birth_seq, window=window, m0=m0),
+        next_obj_num=nobj,
+        next_birth=nbirth,
+        det_slot=slots,
+        det_id=ids,
+        det_new=news,
+        det_ok=oks,
+        overflow=ovf,
+    )
+
+
+def apply_window_updates(
+    bank: TrackBank,
+    dets: jnp.ndarray,
+    slots: jnp.ndarray,
+    oks: jnp.ndarray,
+    news: jnp.ndarray,
+    interps: jnp.ndarray,
+    dt_gp: float,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Closed-form application of per-detection decisions to the (K, L, 4)
+    windows and GP carries: interpolation backfill / full fill / pushes.
+    Shared by the greedy (parity) and Hungarian (improved) associators."""
+    K = bank.alive.shape[0]
+    L = bank.window.shape[1]
+    D = dets.shape[0]
+    idxK = jnp.arange(K, dtype=jnp.int32)
+    dtype = bank.window.dtype
+
     # per-slot detection table in arrival order
     onehot = (slots[:, None] == idxK[None, :]) & oks[:, None]            # (D, K)
     ordinal = jnp.take_along_axis(
@@ -206,14 +288,4 @@ def associate_and_update(
         jnp.zeros(K + 1, bool).at[jnp.where(news, slots, K)].set(news, mode="drop")[:K]
     )
     m0 = jnp.where(reg_mask[:, None, None], 0.0, bank.m0)
-
-    return AssocResult(
-        bank=TrackBank(alive=alive, obj_id=obj_id, birth_seq=birth_seq, window=window, m0=m0),
-        next_obj_num=nobj,
-        next_birth=nbirth,
-        det_slot=slots,
-        det_id=ids.astype(jnp.int32),
-        det_new=news,
-        det_ok=oks,
-        overflow=ovf,
-    )
+    return window, m0

@@ -169,7 +169,15 @@ def step_from_voxel_acc(
     steady = was_init & any_det   # publish/filter/expire this frame (cpp:163+)
 
     # ---- A S S O C I A T I O N  +  L I F E C Y C L E ------------------------
-    assoc = associate_and_update(
+    if config.association == "hungarian":
+        from multiple_object_tracking_lidar_tpu.ops.hungarian import (
+            hungarian_associate_and_update,
+        )
+
+        associate = hungarian_associate_and_update
+    else:
+        associate = associate_and_update
+    assoc = associate(
         state.bank,
         state.next_obj_num,
         state.next_birth,
