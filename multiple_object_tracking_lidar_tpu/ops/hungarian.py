@@ -68,7 +68,11 @@ def auction_assign(
     def phase(price, eps_p):
         def body(state):
             price, owner, it = state                   # owner: (n,) row or -1
-            assigned_row = jnp.zeros(n, bool).at[owner].set(owner >= 0, mode="drop")
+            # NB: negative indices WRAP in jnp scatter; route -1 to the
+            # dropped out-of-bounds slot explicitly
+            assigned_row = jnp.zeros(n, bool).at[
+                jnp.where(owner >= 0, owner, n)
+            ].set(True, mode="drop")
             unassigned = ~assigned_row
 
             net = value - price[None, :]               # (n, n)
@@ -94,7 +98,9 @@ def auction_assign(
 
         def cond(state):
             price, owner, it = state
-            assigned_row = jnp.zeros(n, bool).at[owner].set(owner >= 0, mode="drop")
+            assigned_row = jnp.zeros(n, bool).at[
+                jnp.where(owner >= 0, owner, n)
+            ].set(True, mode="drop")
             return (~assigned_row).any() & (it < max_iters)
 
         owner0 = jnp.full(n, -1, jnp.int32)
@@ -113,8 +119,8 @@ def auction_assign(
     # column -> row map restricted to real rows/columns
     assigned = jnp.full(d, -1, jnp.int32)
     real_owner = jnp.where(owner[:k] < d, owner[:k], -1)
-    assigned = assigned.at[real_owner].set(
-        jnp.where(real_owner >= 0, jnp.arange(k, dtype=jnp.int32), -1), mode="drop"
+    assigned = assigned.at[jnp.where(real_owner >= 0, real_owner, d)].set(
+        jnp.arange(k, dtype=jnp.int32), mode="drop"
     )
     return assigned
 
