@@ -27,7 +27,7 @@ def main() -> None:
     from __graft_entry__ import _bench_config
     from multiple_object_tracking_lidar_tpu.io.scenario import Scenario, ScenarioObject
     from multiple_object_tracking_lidar_tpu.ops.static_mask import build_static_mask
-    from multiple_object_tracking_lidar_tpu.tracker.pipeline import Tracker, _step_impl
+    from multiple_object_tracking_lidar_tpu.tracker.pipeline import Tracker
     from multiple_object_tracking_lidar_tpu.tracker.state import Frame
     from multiple_object_tracking_lidar_tpu.utils.pgm import load_map_yaml
     import os
@@ -80,15 +80,13 @@ def main() -> None:
             )
         )
 
-    step = jax.jit(
-        partial(_step_impl, config=cfg, gains_xy=tracker.gains_xy),
-        donate_argnums=(0,),
-    )
+    # map baked in as a compiled constant, state donated
+    step = tracker.bind_env(env)
 
     # warmup / compile
     state = tracker.init_state()
     for k in range(3):
-        state, out = step(state, frames[k % n_ring], env)
+        state, out = step(state, frames[k % n_ring])
     jax.block_until_ready(out)
 
     # timed
@@ -96,7 +94,7 @@ def main() -> None:
     state = tracker.init_state()
     t0 = time.perf_counter()
     for k in range(n_iters):
-        state, out = step(state, frames[k % n_ring], env)
+        state, out = step(state, frames[k % n_ring])
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
 

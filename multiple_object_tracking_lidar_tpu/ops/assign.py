@@ -101,11 +101,13 @@ def associate_and_update(
     idxK = jnp.arange(K, dtype=jnp.int32)
     dtype = bank.window.dtype
 
-    # ---- decision scan: ONE packed carry array, ONE packed output row -------
-    # Each sequential iteration costs ~fixed device latency regardless of
-    # size, so the body is op-count-minimized: one (K, 6) f32 carry
-    # [alive, obj_id, birth_seq, x, y, t], one dynamic-update-slice, two
-    # argmins, one any-reduce per detection.
+    # ---- decisions: vectorized fast path, exact sequential fallback ---------
+    # The greedy decisions are provably order-independent when (a) no two
+    # valid detections gate a common track and (b) all valid detections are
+    # mutually >= id_threshold apart (then no detection can gate a track
+    # another detection of this frame updated or registered).  That is the
+    # overwhelmingly common frame, so a cheap parallel block handles it and a
+    # `lax.cond` falls back to the order-faithful scan only on conflicts.
     fdt = dets.dtype
     bigf = jnp.asarray(3e38, fdt)
     idxKf = idxK.astype(fdt)
@@ -115,6 +117,70 @@ def associate_and_update(
         if isinstance(allow_match, bool)
         else allow_match.astype(fdt)
     )
+
+    L_last = bank.window[:, L - 1, :]
+    allow_b = (
+        jnp.bool_(allow_match) if isinstance(allow_match, bool) else allow_match
+    )
+    dxm = dets[:, 0:1] - L_last[None, :, 0]
+    dym = dets[:, 1:2] - L_last[None, :, 1]
+    distm = jnp.sqrt(dxm * dxm + dym * dym)              # (D, K)
+    gate_m = bank.alive[None, :] & (distm < id_threshold) & allow_b
+    gate_v = gate_m & det_valid[:, None]
+
+    # independence test
+    per_track = gate_v.sum(0)
+    cond_a = (per_track <= 1).all()
+    ddx = dets[:, 0:1] - dets[None, :, 0]
+    ddy = dets[:, 1:2] - dets[None, :, 1]
+    dd = ddx * ddx + ddy * ddy
+    both_valid = det_valid[:, None] & det_valid[None, :]
+    off_diag = ~jnp.eye(D, dtype=bool)
+    cond_b = jnp.where(
+        both_valid & off_diag, dd >= id_threshold * id_threshold, True
+    ).all()
+    independent = (cond_a & cond_b) | ~allow_b
+
+    def fast_fn(_):
+        any_match = gate_m.any(axis=1)
+        slot_m = jnp.argmin(
+            jnp.where(gate_m, bank.birth_seq[None, :], _INT_BIG), axis=1
+        ).astype(jnp.int32)
+        matched = det_valid & any_match
+        want_new = det_valid & ~any_match
+        free = ~bank.alive
+        free_rank = jnp.cumsum(free.astype(jnp.int32)) - 1
+        n_free = free.sum()
+        new_rank = jnp.cumsum(want_new.astype(jnp.int32)) - 1
+        register = want_new & (new_rank < n_free)
+        ovf = (want_new & ~register).sum().astype(jnp.int32)
+        free_slot_by_rank = (
+            jnp.full(K + 1, 0, jnp.int32)
+            .at[jnp.where(free, free_rank, K)]
+            .set(idxK, mode="drop")[:K]
+        )
+        reg_slot = free_slot_by_rank[jnp.clip(new_rank, 0, K - 1)]
+        slots = jnp.where(matched, slot_m, jnp.where(register, reg_slot, 0)).astype(jnp.int32)
+        oks = matched | register
+        gap = dets[:, 3] - L_last[slots, 3]
+        interps = matched & (gap > interp_gap_factor * dt_gp) & (
+            jnp.round(gap / dt_gp) - 1.0 >= 1.0
+        )
+        new_ids = next_obj_num + new_rank
+        ids = jnp.where(
+            matched, bank.obj_id[slots], jnp.where(register, new_ids, -1)
+        ).astype(jnp.int32)
+        alive = bank.alive.at[jnp.where(register, slots, K)].set(True, mode="drop")
+        obj_id = bank.obj_id.at[jnp.where(register, slots, K)].set(new_ids, mode="drop")
+        birth_seq = bank.birth_seq.at[jnp.where(register, slots, K)].set(
+            next_birth + new_rank, mode="drop"
+        )
+        n_reg = register.sum().astype(jnp.int32)
+        return (
+            alive, obj_id, birth_seq,
+            next_obj_num + n_reg, next_birth + n_reg, ovf,
+            slots, ids, register, oks, interps,
+        )
 
     def step(carry, xs):
         a, nobj, nbirth, ovf = carry          # a: (K, 6) f32
@@ -194,20 +260,27 @@ def associate_and_update(
         next_birth.astype(fdt),
         next_obj_num.astype(fdt) * 0.0,  # ovf seed, varying-typed
     )
-    (a_fin, nobj_f, nbirth_f, ovf_f), outs = jax.lax.scan(
-        step, carry0, (dets, det_valid), unroll=4
+    def slow_fn(_):
+        (a_fin, nobj_f, nbirth_f, ovf_f), outs = jax.lax.scan(
+            step, carry0, (dets, det_valid), unroll=4
+        )
+        return (
+            a_fin[:, 0] > 0,
+            a_fin[:, 1].astype(jnp.int32),
+            a_fin[:, 2].astype(jnp.int32),
+            nobj_f.astype(jnp.int32),
+            nbirth_f.astype(jnp.int32),
+            ovf_f.astype(jnp.int32),
+            outs[:, 0].astype(jnp.int32),
+            outs[:, 1].astype(jnp.int32),
+            outs[:, 2] > 0,
+            outs[:, 3] > 0,
+            outs[:, 4] > 0,
+        )
+
+    (alive, obj_id, birth_seq, nobj, nbirth, ovf, slots, ids, news, oks, interps) = (
+        jax.lax.cond(independent, fast_fn, slow_fn, None)
     )
-    alive = a_fin[:, 0] > 0
-    obj_id = a_fin[:, 1].astype(jnp.int32)
-    birth_seq = a_fin[:, 2].astype(jnp.int32)
-    nobj = nobj_f.astype(jnp.int32)
-    nbirth = nbirth_f.astype(jnp.int32)
-    ovf = ovf_f.astype(jnp.int32)
-    slots = outs[:, 0].astype(jnp.int32)
-    ids = outs[:, 1].astype(jnp.int32)
-    news = outs[:, 2] > 0
-    oks = outs[:, 3] > 0
-    interps = outs[:, 4] > 0
 
     window, m0 = apply_window_updates(bank, dets, slots, oks, news, interps, dt_gp)
 

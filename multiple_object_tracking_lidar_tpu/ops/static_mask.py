@@ -91,5 +91,20 @@ def remove_static(
     in_bounds = (row >= 0) & (row < h) & (col >= 0) & (col < w)
     row_c = jnp.clip(row, 0, h - 1)
     col_c = jnp.clip(col, 0, w - 1)
-    is_static = env.dilated[row_c, col_c]
+
+    # Gather-free lookup: random scalar gathers cost ~100 ns each on TPU
+    # (serialized through the scalar core — measured 0.6-0.9 ms for 8k
+    # lookups), so the table read becomes a one-hot bilinear form on the
+    # MXU/VPU:  dil[r, c] = onehot(r) @ dil @ onehot(c).  All values are
+    # exactly 0/1, bf16 operands with f32 accumulation are exact.
+    rsel = (row_c[:, None] == jnp.arange(h, dtype=jnp.int32)[None, :]).astype(
+        jnp.bfloat16
+    )
+    csel = col_c[:, None] == jnp.arange(w, dtype=jnp.int32)[None, :]
+    dil = env.dilated.astype(jnp.bfloat16)
+    t = jax.lax.dot_general(
+        rsel, dil, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )                                                     # (M, W) rows of dil
+    val = jnp.sum(jnp.where(csel, t, 0.0), axis=1)
+    is_static = val > 0.5
     return mask & in_bounds & ~is_static

@@ -91,6 +91,17 @@ class Tracker:
     def step(self, state: TrackerState, frame: Frame, env: MapEnv):
         return self._step(state, frame, env)
 
+    def bind_env(self, env: MapEnv, donate_state: bool = True):
+        """Specialize the step on a fixed map: the dilated mask is baked into
+        the compiled program as a constant (no per-step transfer/copy), and
+        the track state is donated.  Re-bind on map updates (rare).
+        Returns ``step(state, frame) -> (state, output)``."""
+        cfg, gains = self.config, self.gains_xy
+        return jax.jit(
+            lambda state, frame: _step_impl(state, frame, env, config=cfg, gains_xy=gains),
+            donate_argnums=(0,) if donate_state else (),
+        )
+
 
 def _step_impl(
     state: TrackerState,
