@@ -102,6 +102,22 @@ class Tracker:
             donate_argnums=(0,) if donate_state else (),
         )
 
+    def bind_env_multi(self, env: MapEnv, donate_state: bool = True):
+        """Like bind_env, but processes a BATCH OF CONSECUTIVE FRAMES of one
+        stream per dispatch via `lax.scan` — bit-identical to calling step()
+        frame by frame (same sequential state chain), with per-dispatch host/
+        RPC overhead amortized across the batch.  Frames arrive stacked on a
+        leading axis: ``multi_step(state, frames) -> (state, outputs)``."""
+        cfg, gains = self.config, self.gains_xy
+
+        def multi(state, frames):
+            def body(s, fr):
+                return _step_impl(s, Frame(*fr), env, config=cfg, gains_xy=gains)
+
+            return jax.lax.scan(body, state, tuple(frames))
+
+        return jax.jit(multi, donate_argnums=(0,) if donate_state else ())
+
 
 def _step_impl(
     state: TrackerState,
