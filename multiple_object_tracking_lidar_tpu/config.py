@@ -103,6 +103,9 @@ class TrackerConfig:
     position_filter: str = "lpf"         # "lpf" (ref default, cpp:638) | "ihgp" (cpp:639, present-but-disabled mode)
     association: str = "greedy"          # "greedy" (reference parity, cpp:177-219) |
                                          # "hungarian" (improved: optimal gated auction assignment)
+    assoc_cond_branch: bool = True       # lax.cond fast/slow association (set False
+                                         # under shard_map — see ops/assign.py)
+    cluster_backend: str = "jnp"         # "jnp" | "pallas" (fused VMEM kernel)
     dtype: str = "float32"               # device compute dtype
     caps: Capacities = dataclasses.field(default_factory=Capacities)
     scene: SceneBounds = dataclasses.field(default_factory=SceneBounds)

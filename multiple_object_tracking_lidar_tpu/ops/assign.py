@@ -92,9 +92,13 @@ def associate_and_update(
     dt_gp: float,
     interp_gap_factor: float = 3.0,
     allow_match: jax.Array | bool = True,
+    cond_branch: bool = True,
 ) -> AssocResult:
     """``allow_match=False`` reproduces the first-frame path (cpp:153-156):
-    every centroid registers a new track, no gating against the bank."""
+    every centroid registers a new track, no gating against the bank.
+    ``cond_branch=False`` evaluates both decision paths and selects (needed
+    under shard_map, where lax.cond branch-varying-axis reconciliation fails
+    in current JAX); results are identical either way."""
     K = bank.alive.shape[0]
     L = bank.window.shape[1]
     D = dets.shape[0]
@@ -278,9 +282,13 @@ def associate_and_update(
             outs[:, 4] > 0,
         )
 
-    (alive, obj_id, birth_seq, nobj, nbirth, ovf, slots, ids, news, oks, interps) = (
-        jax.lax.cond(independent, fast_fn, slow_fn, None)
-    )
+    if cond_branch:
+        decided = jax.lax.cond(independent, fast_fn, slow_fn, None)
+    else:
+        decided = jax.tree.map(
+            lambda a, b: jnp.where(independent, a, b), fast_fn(None), slow_fn(None)
+        )
+    (alive, obj_id, birth_seq, nobj, nbirth, ovf, slots, ids, news, oks, interps) = decided
 
     window, m0 = apply_window_updates(bank, dets, slots, oks, news, interps, dt_gp)
 

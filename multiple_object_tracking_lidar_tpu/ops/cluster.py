@@ -118,11 +118,25 @@ def euclidean_cluster(
     p_max: int,
     max_iters: int = 32,
     pointer_jumps: int = 4,
+    backend: str = "jnp",
 ) -> Clusters:
     """Full PCL-semantics clustering: components -> size filter -> ordering ->
-    member table.  All shapes static: (M,) points in, (C, P) members out."""
+    member table.  All shapes static: (M,) points in, (C, P) members out.
+    ``backend="pallas"`` runs the connected-components core as the fused VMEM
+    kernel (ops/cluster_pallas.py) instead of HBM-level jnp ops."""
     m = pts.shape[0]
-    labels, n_iters = connected_components(pts, mask, tol, max_iters, pointer_jumps)
+    if backend == "pallas":
+        from multiple_object_tracking_lidar_tpu.ops.cluster_pallas import (
+            connected_components_pallas,
+        )
+
+        interpret = jax.default_backend() != "tpu"
+        labels = connected_components_pallas(
+            pts, mask, tol, n_sweeps=8 * max_iters, interpret=interpret
+        )
+        n_iters = jnp.int32(-1)  # not reported by the kernel
+    else:
+        labels, n_iters = connected_components(pts, mask, tol, max_iters, pointer_jumps)
 
     # component sizes at the root slot
     counts = jnp.zeros(m + 1, dtype=jnp.int32).at[labels].add(

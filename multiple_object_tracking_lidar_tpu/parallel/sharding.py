@@ -62,7 +62,9 @@ class ShardedTracker:
     mesh: Mesh
 
     def __post_init__(self):
-        cfg = self.tracker.config
+        # lax.cond's branch-VMA reconciliation fails under shard_map in
+        # current JAX; select-both mode is semantically identical
+        cfg = dataclasses.replace(self.tracker.config, assoc_cond_branch=False)
         gains_xy = self.tracker.gains_xy
 
         def local_fn(bank_state, points, mask, t, env):

@@ -26,7 +26,7 @@ def _load_cfg(args):
 def cmd_run(args) -> int:
     import numpy as np
 
-    from multiple_object_tracking_lidar_tpu.io.scenario import sim01_scenario
+    from multiple_object_tracking_lidar_tpu.io.scenario import Scenario, ScenarioObject
     from multiple_object_tracking_lidar_tpu.runtime.node import TrackerNode
     from multiple_object_tracking_lidar_tpu.utils.pgm import load_map_yaml
 
@@ -35,11 +35,19 @@ def cmd_run(args) -> int:
     grid = load_map_yaml(args.map)
     node.on_map(grid)
 
-    import os
-
-    sc = sim01_scenario(os.path.dirname(args.map), n_objects=args.objects)
-    # patch scenario to point at the provided map
-    sc.grid = grid
+    objs = [
+        ScenarioObject(x0=0.0, y0=1.0, vx=0.0, vy=0.45, turn_every=8.0),
+        ScenarioObject(x0=-0.8, y0=4.0, vx=0.35, vy=0.0, turn_every=6.0),
+        ScenarioObject(x0=0.9, y0=6.5, vx=-0.25, vy=0.25, turn_every=7.0),
+    ][: args.objects]
+    # scale the synthetic static returns to the configured point capacity so
+    # object returns are never truncated away
+    sc = Scenario(
+        grid=grid,
+        objects=objs,
+        frequency=cfg.frequency,
+        static_points_per_frame=min(4000, cfg.caps.n_max_points // 2),
+    )
 
     for k in range(args.frames):
         msg = sc.frame(k)

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -118,6 +119,36 @@ class Tracker:
 
         return jax.jit(multi, donate_argnums=(0,) if donate_state else ())
 
+    def bind_env_pipelined(self, env: MapEnv, donate_state: bool = True):
+        """Highest-throughput shape: the stateless perception front-end (all
+        the heavy compute) runs BATCHED over the frame axis in one program
+        (vmap), and only the tiny stateful tracking back-end scans the
+        sequential chain in a second program.  Bit-identical outputs to
+        frame-by-frame step() — perception never reads tracker state.
+        Returns ``run(state, frames_stacked) -> (state, outputs_stacked)``."""
+        cfg, gains = self.config, self.gains_xy
+
+        perceive_batch = jax.jit(
+            jax.vmap(
+                lambda pts, m, t: perceive(Frame(pts, m, t), env, config=cfg)
+            )
+        )
+
+        def track_scan(state, pb):
+            return jax.lax.scan(
+                lambda s, pp: track_step(s, Perception(*pp), config=cfg, gains_xy=gains),
+                state,
+                tuple(pb),
+            )
+
+        track_jit = jax.jit(track_scan, donate_argnums=(0,) if donate_state else ())
+
+        def run(state, frames: Frame):
+            pb = perceive_batch(frames.points, frames.mask, frames.t)
+            return track_jit(state, pb)
+
+        return run
+
 
 def _step_impl(
     state: TrackerState,
@@ -146,24 +177,33 @@ def _step_impl(
     )
 
 
-def step_from_voxel_acc(
-    state: TrackerState,
+class Perception(NamedTuple):
+    """Stateless per-frame perception result — everything the tracking
+    back-end needs.  Tiny: (C, 4) detections + scalars."""
+
+    dets: jax.Array        # (C, 4)
+    det_valid: jax.Array   # (C,)
+    t: jax.Array
+    n_points: jax.Array
+    n_vox: jax.Array
+    n_dynamic: jax.Array
+    n_clusters: jax.Array
+
+
+def perceive_from_acc(
     acc: jax.Array,
     t: jax.Array,
     n_points: jax.Array,
     env: MapEnv,
     *,
     config: TrackerConfig,
-    gains_xy: dict,
-) -> tuple[TrackerState, FrameOutput]:
-    """Everything after voxel accumulation.  Split out so a point-sharded
-    deployment can `psum` partial voxel accumulators over a mesh axis and run
-    the (small) remainder replicated — see parallel/sharding.py."""
+) -> Perception:
+    """Perception tail after voxel accumulation: finalize -> static mask ->
+    compact -> cluster -> circumcenter.  Stateless, so it batches (vmap) over
+    frames — the heavy compute runs batched while only the tiny tracking
+    back-end is sequential."""
     caps = config.caps
     dtype = jnp.dtype(config.dtype)
-    L = config.data_length
-    dt_gp = config.dt_gp
-    frame = None  # guard: everything below must come from acc/t/n_points
 
     vox, vox_mask, n_vox = voxel_finalize(acc, caps.m_max_voxels)
 
@@ -183,13 +223,71 @@ def step_from_voxel_acc(
         caps.p_max_cluster,
         caps.label_prop_iters,
         caps.pointer_jumps,
+        backend=config.cluster_backend,
     )
 
     # 4. circumcenter features (cpp:708-822)
     dets = circumcenter_features(
         pts, clusters.members, clusters.member_mask, clusters.cluster_valid, t
     ).astype(dtype)
-    det_valid = clusters.cluster_valid
+
+    return Perception(
+        dets=dets,
+        det_valid=clusters.cluster_valid,
+        t=t,
+        n_points=n_points,
+        n_vox=n_vox,
+        n_dynamic=n_dyn,
+        n_clusters=clusters.n_clusters,
+    )
+
+
+def perceive(frame: Frame, env: MapEnv, *, config: TrackerConfig) -> Perception:
+    """Full stateless perception front-end for one frame."""
+    acc = voxel_accumulate(
+        frame.points.astype(jnp.dtype(config.dtype)),
+        frame.mask,
+        config.scene,
+        config.voxel_leaf_size,
+        config.leaf_z,
+    )
+    return perceive_from_acc(acc, frame.t, frame.mask.sum(), env, config=config)
+
+
+def step_from_voxel_acc(
+    state: TrackerState,
+    acc: jax.Array,
+    t: jax.Array,
+    n_points: jax.Array,
+    env: MapEnv,
+    *,
+    config: TrackerConfig,
+    gains_xy: dict,
+) -> tuple[TrackerState, FrameOutput]:
+    """Everything after voxel accumulation.  Split out so a point-sharded
+    deployment can `psum` partial voxel accumulators over a mesh axis and run
+    the (small) remainder replicated — see parallel/sharding.py."""
+    p = perceive_from_acc(acc, t, n_points, env, config=config)
+    return track_step(state, p, config=config, gains_xy=gains_xy)
+
+
+def track_step(
+    state: TrackerState,
+    p: Perception,
+    *,
+    config: TrackerConfig,
+    gains_xy: dict,
+) -> tuple[TrackerState, FrameOutput]:
+    """Stateful tracking back-end: association, lifecycle, filtering, expiry.
+    Operates on the tiny Perception record only."""
+    caps = config.caps
+    dtype = jnp.dtype(config.dtype)
+    L = config.data_length
+    dt_gp = config.dt_gp
+
+    dets = p.dets
+    det_valid = p.det_valid
+    t = p.t
 
     any_det = det_valid.any()
     was_init = state.initialized
@@ -214,6 +312,11 @@ def step_from_voxel_acc(
         dt_gp,
         config.interp_gap_factor,
         allow_match=was_init,  # first frame registers without gating (cpp:153-156)
+        **(
+            {"cond_branch": config.assoc_cond_branch}
+            if config.association == "greedy"
+            else {}
+        ),
     )
     bank = assoc.bank
 
@@ -305,10 +408,10 @@ def step_from_voxel_acc(
         vel=vel_det,
         raw_centroid=dets,
         new_track=assoc.det_new,
-        n_points=n_points,
-        n_voxels=n_vox,
-        n_dynamic=n_dyn,
-        n_clusters=clusters.n_clusters,
+        n_points=p.n_points,
+        n_voxels=p.n_vox,
+        n_dynamic=p.n_dynamic,
+        n_clusters=p.n_clusters,
         n_alive=alive.sum(),
         overflow=assoc.overflow,
     )

@@ -1,0 +1,45 @@
+"""CLI driver (the framework's main(), ref node.cpp:4-33)."""
+
+import json
+import os
+import subprocess
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_cli_run_emits_tracks(fixture_map, tmp_path):
+    cfg = tmp_path / "cfg.yaml"
+    cfg.write_text(
+        "voxel_leaf_size: 0.1\n"
+        "data_length: 6\n"
+        "caps:\n"
+        "  n_max_points: 1024\n"
+        "  m_max_voxels: 512\n"
+        "  m_max_dynamic: 128\n"
+        "  c_max_clusters: 8\n"
+        "  p_max_cluster: 64\n"
+        "  k_max_tracks: 8\n"
+    )
+    env = dict(os.environ)
+    env["PYTHONPATH"] = ROOT
+    # force CPU inside the subprocess (env var alone is unreliable here)
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "from multiple_object_tracking_lidar_tpu.runtime.cli import main;"
+        f"raise SystemExit(main(['run','--map','{ROOT}/assets/sim_map.yaml',"
+        f"'--config','{cfg}','--frames','6','--objects','1']))"
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, env=env,
+        timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = [json.loads(x) for x in r.stdout.strip().splitlines() if x.startswith("{")]
+    track_lines = [x for x in lines if "obstacles" in x]
+    assert len(track_lines) >= 3
+    rec = track_lines[-1]
+    assert rec["obstacles"][0]["id"] == 0
+    assert len(rec["speed_labels"]) == len(rec["obstacles"])
+    # summary goes to stderr
+    assert "mean_ms" in r.stderr

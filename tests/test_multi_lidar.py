@@ -51,6 +51,7 @@ def test_merge_sharded_matches_local(rng):
             mesh=mesh,
             in_specs=(P("s"), P("s"), P("s")),
             out_specs=P(),
+            check_vma=False,  # all_gather output is replicated by construction
         )
     )
     merged, mask = fn(jnp.asarray(clouds), jnp.ones((2, n), bool), jnp.asarray(tfs))
