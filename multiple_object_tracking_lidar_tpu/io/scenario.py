@@ -157,12 +157,15 @@ class Scenario:
         return out
 
 
-def sim01_scenario(map_dir: str, n_objects: int = 2, **kw) -> Scenario:
-    """The canonical test scenario over the bundled sim_01 map."""
+def sim01_scenario(
+    map_dir: str, n_objects: int = 2, yaml_name: str = "sim_map.yaml", **kw
+) -> Scenario:
+    """The canonical test scenario over the bundled fixture map (the
+    regenerable stand-in for the reference's sim_01 scene)."""
     from multiple_object_tracking_lidar_tpu.utils.pgm import load_map_yaml
     import os
 
-    grid = load_map_yaml(os.path.join(map_dir, "sim_01.yaml"))
+    grid = load_map_yaml(os.path.join(map_dir, yaml_name))
     objs = [
         ScenarioObject(x0=0.0, y0=1.0, vx=0.0, vy=0.45, turn_every=8.0),
         ScenarioObject(x0=-0.8, y0=4.0, vx=0.35, vy=0.0, turn_every=6.0),

@@ -18,13 +18,11 @@ program with masks (no recompilation, no host branching):
 
 from __future__ import annotations
 
-import dataclasses
 from functools import partial
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from multiple_object_tracking_lidar_tpu.config import TrackerConfig
 from multiple_object_tracking_lidar_tpu.models.ihgp import (
