@@ -1,0 +1,162 @@
+"""Dispatch-mode equivalence: bind_env / bind_env_multi / bind_env_pipelined
+must produce bit-identical state chains and outputs, and the IHGP position
+mode (C15) must match a loop oracle that chains the shared GP state."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import oracle
+from multiple_object_tracking_lidar_tpu.config import Capacities, TrackerConfig
+from multiple_object_tracking_lidar_tpu.io.scenario import Scenario, ScenarioObject
+from multiple_object_tracking_lidar_tpu.ops.static_mask import build_static_mask
+from multiple_object_tracking_lidar_tpu.tracker.pipeline import Tracker
+from multiple_object_tracking_lidar_tpu.tracker.state import Frame
+
+
+def _cfg():
+    return TrackerConfig(
+        voxel_leaf_size=0.1,
+        data_length=6,
+        caps=Capacities(
+            n_max_points=1024,
+            m_max_voxels=512,
+            m_max_dynamic=128,
+            c_max_clusters=8,
+            p_max_cluster=64,
+            k_max_tracks=8,
+        ),
+    )
+
+
+def _frames(cfg, fixture_map, n):
+    sc = Scenario(
+        grid=fixture_map,
+        objects=[ScenarioObject(0.0, 1.0, 0.0, 0.4), ScenarioObject(1.0, 6.0, -0.3, 0.0)],
+        static_points_per_frame=300,
+        seed=21,
+    )
+    out = []
+    for k in range(n):
+        pts, t = sc.frame_arrays(k)
+        buf = np.zeros((cfg.caps.n_max_points, 3), np.float32)
+        buf[: len(pts)] = pts[: cfg.caps.n_max_points]
+        mask = np.zeros(cfg.caps.n_max_points, bool)
+        mask[: min(len(pts), cfg.caps.n_max_points)] = True
+        out.append(Frame(jnp.asarray(buf), jnp.asarray(mask), jnp.float32(t)))
+    return out
+
+
+def test_multi_and_pipelined_match_single(fixture_map):
+    cfg = _cfg()
+    tracker = Tracker(cfg)
+    env = build_static_mask(fixture_map, cfg.static_tolarance)
+    frames = _frames(cfg, fixture_map, 6)
+    stacked = Frame(
+        points=jnp.stack([f.points for f in frames]),
+        mask=jnp.stack([f.mask for f in frames]),
+        t=jnp.stack([f.t for f in frames]),
+    )
+
+    s1 = tracker.init_state()
+    outs1 = []
+    for f in frames:
+        s1, o = tracker.step(s1, f, env)
+        outs1.append(o)
+
+    multi = tracker.bind_env_multi(env, donate_state=False)
+    s2, o2 = multi(tracker.init_state(), stacked)
+
+    piped = tracker.bind_env_pipelined(env, donate_state=False)
+    s3, o3 = piped(tracker.init_state(), stacked)
+
+    # multi (same program scanned) is bit-identical; pipelined recompiles the
+    # math in two programs, so XLA may reorder f32 ops — ulp-level tolerance
+    for k, o in enumerate(outs1):
+        for name in ("valid", "obj_id", "n_clusters"):
+            a = np.asarray(getattr(o, name))
+            np.testing.assert_array_equal(a, np.asarray(getattr(o2, name))[k], err_msg=f"multi {name} frame {k}")
+            np.testing.assert_array_equal(a, np.asarray(getattr(o3, name))[k], err_msg=f"piped {name} frame {k}")
+        for name in ("pos", "vel"):
+            a = np.asarray(getattr(o, name))
+            np.testing.assert_array_equal(a, np.asarray(getattr(o2, name))[k], err_msg=f"multi {name} frame {k}")
+            np.testing.assert_allclose(
+                a, np.asarray(getattr(o3, name))[k], rtol=2e-5, atol=1e-6,
+                err_msg=f"piped {name} frame {k}",
+            )
+    np.testing.assert_array_equal(np.asarray(s1.bank.window), np.asarray(s2.bank.window))
+    np.testing.assert_array_equal(np.asarray(s1.bank.m0), np.asarray(s2.bank.m0))
+    np.testing.assert_allclose(
+        np.asarray(s1.bank.window), np.asarray(s3.bank.window), rtol=2e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(s1.bank.m0), np.asarray(s3.bank.m0), rtol=2e-5, atol=1e-5
+    )
+
+
+def test_ihgp_position_mode_matches_oracle(fixture_map):
+    """C15: position_filter='ihgp' chains the position run into the velocity
+    run through the shared GP state, like the reference's disabled mode
+    (IHGP_fixed_pos, cpp:835-869) would with its shared GP objects."""
+    cfg = _cfg().replace(position_filter="ihgp", dtype="float64")
+    tracker = Tracker(cfg)
+    env = build_static_mask(fixture_map, cfg.static_tolarance)
+    frames = _frames(cfg, fixture_map, 5)
+
+    state = tracker.init_state()
+    outs = []
+    for f in frames:
+        state, o = tracker.step(state, f, env)
+        outs.append(jax.tree.map(np.asarray, o))
+
+    # loop oracle for one track: replay its windows through IHGPOracle
+    # pos run (L samples, mean = last) then vel run (L-1 samples, mean = avg)
+    # x-axis only (same hyperparams as y by default config)
+    ssm = oracle.matern32(np.exp(-5.5), np.exp(-3.5), np.exp(0.75))
+    # reconstruct windows frame by frame from published raw centroids
+    L = cfg.data_length
+    dt = cfg.dt_gp
+    gpx = oracle.IHGPOracle(dt, ssm[0], ssm[2], ssm[1], ssm[3])
+    win = None
+    for k, o in enumerate(outs):
+        dets = [
+            (float(o.raw_centroid[i][0]), float(o.obj_id[i]))
+            for i in range(len(o.valid))
+            if o.valid[i] and o.obj_id[i] == 0
+        ]
+        # find frame where track 0 is present
+        det0 = None
+        for i in range(len(o.valid)):
+            if (o.valid[i] or k == 0) and int(o.obj_id[i]) == 0:
+                det0 = float(o.raw_centroid[i][0])
+                break
+        if det0 is None:
+            continue
+        if win is None:
+            win = [det0] * L
+        else:
+            win = win[1:] + [det0]
+        if k == 0:
+            continue
+        # oracle: pos run then vel run on the same GP (shared m)
+        gpx.init_step()
+        mean_p = win[-1]
+        for v in win:
+            gpx.update(v - mean_p)
+        pos_x = gpx.get_eft()[-1] + mean_p
+        gpx.init_step()
+        vels = [(win[j + 1] - win[j]) / dt for j in range(L - 1)]
+        mean_v = float(np.mean(vels))
+        for v in vels:
+            gpx.update(v - mean_v)
+        vel_x = float(np.clip(gpx.get_eft()[-1] + mean_v, -1.5, 1.5))
+
+        got = None
+        for i in range(len(o.valid)):
+            if o.valid[i] and int(o.obj_id[i]) == 0:
+                got = (float(o.pos[i][0]), float(o.vel[i][0]))
+                break
+        if got is None:
+            continue
+        np.testing.assert_allclose(got[0], pos_x, atol=1e-9, err_msg=f"frame {k} pos")
+        np.testing.assert_allclose(got[1], vel_x, atol=1e-9, err_msg=f"frame {k} vel")
