@@ -35,22 +35,34 @@ def cmd_run(args) -> int:
     grid = load_map_yaml(args.map)
     node.on_map(grid)
 
-    objs = [
-        ScenarioObject(x0=0.0, y0=1.0, vx=0.0, vy=0.45, turn_every=8.0),
-        ScenarioObject(x0=-0.8, y0=4.0, vx=0.35, vy=0.0, turn_every=6.0),
-        ScenarioObject(x0=0.9, y0=6.5, vx=-0.25, vy=0.25, turn_every=7.0),
-    ][: args.objects]
-    # scale the synthetic static returns to the configured point capacity so
-    # object returns are never truncated away
-    sc = Scenario(
-        grid=grid,
-        objects=objs,
-        frequency=cfg.frequency,
-        static_points_per_frame=min(4000, cfg.caps.n_max_points // 2),
-    )
+    if getattr(args, "bag", None):
+        from multiple_object_tracking_lidar_tpu.io.bag import replay_bag
 
-    for k in range(args.frames):
-        msg = sc.frame(k)
+        frames_iter = list(replay_bag(args.bag))[: args.frames]
+    else:
+        objs = [
+            ScenarioObject(x0=0.0, y0=1.0, vx=0.0, vy=0.45, turn_every=8.0),
+            ScenarioObject(x0=-0.8, y0=4.0, vx=0.35, vy=0.0, turn_every=6.0),
+            ScenarioObject(x0=0.9, y0=6.5, vx=-0.25, vy=0.25, turn_every=7.0),
+        ][: args.objects]
+        # scale the synthetic static returns to the configured point capacity
+        # so object returns are never truncated away
+        sc = Scenario(
+            grid=grid,
+            objects=objs,
+            frequency=cfg.frequency,
+            static_points_per_frame=min(4000, cfg.caps.n_max_points // 2),
+        )
+        frames_iter = [sc.frame(k) for k in range(args.frames)]
+
+    if getattr(args, "record_bag", None):
+        from multiple_object_tracking_lidar_tpu.io.bag import record_bag
+
+        record_bag(args.record_bag, frames_iter)
+
+    trajectories: dict[int, list] = {}
+    speeds: dict[int, float] = {}
+    for k, msg in enumerate(frames_iter):
         result = node.on_pointcloud(msg)
         if result is None:
             continue
@@ -69,6 +81,16 @@ def cmd_run(args) -> int:
             "speed_labels": [m.text for m in markers.markers],
         }
         print(json.dumps(rec))
+        for o in obstacles.obstacles:
+            trajectories.setdefault(o.id, []).append(tuple(o.position[:2]))
+            speeds[o.id] = float(np.hypot(o.velocity[0], o.velocity[1]))
+
+    if getattr(args, "svg", None) and trajectories:
+        from multiple_object_tracking_lidar_tpu.outputs.svg import render_svg
+
+        with open(args.svg, "w", encoding="utf-8") as f:
+            f.write(render_svg(grid, trajectories, node.colors, speeds))
+        print(json.dumps({"svg": args.svg, "tracks": len(trajectories)}), file=sys.stderr)
 
     if node.stats:
         wall = [s.wall_ms for s in node.stats[3:]] or [s.wall_ms for s in node.stats]
@@ -84,6 +106,58 @@ def cmd_run(args) -> int:
                 }
             ),
             file=sys.stderr,
+        )
+    return 0
+
+
+def cmd_tune(args) -> int:
+    """Fit (logMagnSigma2, logLengthScale) on velocity windows harvested from
+    a scenario run — the reference's dead hyperparameter-learning loop
+    (IHGP_nonfixed, cpp:922-1011) as a working workflow."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from multiple_object_tracking_lidar_tpu.io.scenario import Scenario, ScenarioObject
+    from multiple_object_tracking_lidar_tpu.models.learning import learning_step
+    from multiple_object_tracking_lidar_tpu.runtime.node import TrackerNode
+    from multiple_object_tracking_lidar_tpu.utils.pgm import load_map_yaml
+
+    cfg = _load_cfg(args)
+    node = TrackerNode(cfg)
+    grid = load_map_yaml(args.map)
+    node.on_map(grid)
+    sc = Scenario(
+        grid=grid,
+        objects=[ScenarioObject(0.0, 1.0, 0.0, 0.45, turn_every=8.0)],
+        frequency=cfg.frequency,
+        static_points_per_frame=min(4000, cfg.caps.n_max_points // 2),
+    )
+
+    # harvest mean-centered velocity windows from the live track bank
+    windows = []
+    for k in range(args.frames):
+        node.on_pointcloud(sc.frame(k))
+        bank = node.state.bank
+        alive = np.asarray(bank.alive)
+        w = np.asarray(bank.window)
+        for i in np.nonzero(alive)[0]:
+            v = (w[i, 1:, 0] - w[i, :-1, 0]) / cfg.dt_gp
+            windows.append(v - v.mean())
+    y = jnp.asarray(np.stack(windows), jnp.float64)
+    mask = jnp.ones(len(windows), bool)
+
+    lp = jnp.asarray([cfg.logSigma2_x, cfg.logMagnSigma2_x, cfg.logLengthScale_x], jnp.float64)
+    for step_i in range(args.steps):
+        lp, nll = learning_step(lp, y, mask, cfg.dt_gp)
+        print(
+            json.dumps(
+                {
+                    "step": step_i,
+                    "nll": round(float(nll), 4),
+                    "logMagnSigma2": round(float(lp[1]), 4),
+                    "logLengthScale": round(float(lp[2]), 4),
+                }
+            )
         )
     return 0
 
@@ -112,13 +186,26 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="mot-lidar", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
 
-    pr = sub.add_parser("run", help="replay a scenario through the tracker")
+    pr = sub.add_parser("run", help="replay a scenario or bag through the tracker")
     pr.add_argument("--map", required=True, help="map YAML (map_server format)")
     pr.add_argument("--config", help="config file (.yaml/.json/.launch)")
     pr.add_argument("--frames", type=int, default=100)
     pr.add_argument("--objects", type=int, default=2)
     pr.add_argument("--data-length", type=int, dest="data_length")
+    pr.add_argument("--bag", help="replay frames from an .npz bag instead of synthesizing")
+    pr.add_argument("--record-bag", dest="record_bag", help="record the frames to an .npz bag")
+    pr.add_argument("--svg", help="write track trajectories to an SVG file")
     pr.set_defaults(fn=cmd_run)
+
+    pt = sub.add_parser(
+        "tune", help="fit GP hyperparameters on a scenario (resurrected IHGP_nonfixed)"
+    )
+    pt.add_argument("--map", required=True)
+    pt.add_argument("--config", help="config file")
+    pt.add_argument("--frames", type=int, default=60)
+    pt.add_argument("--steps", type=int, default=30)
+    pt.add_argument("--data-length", type=int, dest="data_length")
+    pt.set_defaults(fn=cmd_tune)
 
     pb = sub.add_parser("bench", help="run the throughput benchmark")
     pb.set_defaults(fn=cmd_bench)

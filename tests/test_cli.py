@@ -43,3 +43,38 @@ def test_cli_run_emits_tracks(fixture_map, tmp_path):
     assert len(rec["speed_labels"]) == len(rec["obstacles"])
     # summary goes to stderr
     assert "mean_ms" in r.stderr
+
+
+def test_cli_svg_bag_roundtrip(fixture_map, tmp_path):
+    cfg = tmp_path / "cfg.yaml"
+    cfg.write_text(
+        "voxel_leaf_size: 0.1\ndata_length: 6\n"
+        "caps:\n  n_max_points: 1024\n  m_max_voxels: 512\n  m_max_dynamic: 128\n"
+        "  c_max_clusters: 8\n  p_max_cluster: 64\n  k_max_tracks: 8\n"
+    )
+    svg = tmp_path / "out.svg"
+    bag = tmp_path / "frames.npz"
+    env = dict(os.environ)
+    env["PYTHONPATH"] = ROOT
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "from multiple_object_tracking_lidar_tpu.runtime.cli import main;"
+        f"raise SystemExit(main(['run','--map','{ROOT}/assets/sim_map.yaml',"
+        f"'--config','{cfg}','--frames','5','--objects','1',"
+        f"'--svg','{svg}','--record-bag','{bag}']))"
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, env=env,
+        timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    text = svg.read_text()
+    assert text.startswith("<svg") and "polyline" in text
+
+    from multiple_object_tracking_lidar_tpu.io.bag import bag_info, replay_bag
+
+    info = bag_info(str(bag))
+    assert info["frames"] == 5
+    msgs = list(replay_bag(str(bag)))
+    assert len(msgs) == 5
+    assert msgs[0].n_points > 0
