@@ -126,6 +126,74 @@ def voxel_downsample_dense(
     return voxel_finalize(voxel_accumulate(points, mask, scene, leaf_xy, leaf_z), m_max)
 
 
+def voxel_downsample_scan(
+    points: jnp.ndarray,
+    mask: jnp.ndarray,
+    scene: SceneBounds,
+    leaf_xy: float,
+    leaf_z: float,
+    m_max: int,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Scatter-free voxel centroid downsample (same semantics/ordering as the
+    dense path): co-sort points by linearized cell, segmented Hillis-Steele
+    prefix sums (the last row of each segment holds the segment total), then
+    gather-only compaction via cumsum+searchsorted.
+
+    Exists because XLA's scatter compilation is nondeterministically slow on
+    this TPU stack (docs/PERFORMANCE.md); every primitive here — sort, shift,
+    cumsum, searchsorted, gather — measures stably.  Select with
+    ``TrackerConfig(voxel_mode="scan")``.
+    """
+    gx, gy, gz = grid_shape(scene, leaf_xy, leaf_z)
+    n_cells = gx * gy * gz
+    bx = math.floor(scene.x_min / leaf_xy)
+    by = math.floor(scene.y_min / leaf_xy)
+    bz = math.floor(scene.z_min / leaf_z)
+
+    ix, iy, iz = _quantize(points, leaf_xy, leaf_z)
+    ix -= bx
+    iy -= by
+    iz -= bz
+    in_bounds = (
+        mask
+        & (ix >= 0) & (ix < gx)
+        & (iy >= 0) & (iy < gy)
+        & (iz >= 0) & (iz < gz)
+    )
+    lin = ix + gx * (iy + gy * iz)
+    keys = jnp.where(in_bounds, lin, n_cells).astype(jnp.int32)
+
+    w = in_bounds.astype(points.dtype)
+    ks, xs, ys, zs, ws = jax.lax.sort(
+        (keys, points[:, 0] * w, points[:, 1] * w, points[:, 2] * w, w),
+        num_keys=1,
+    )
+    vals = jnp.stack([xs, ys, zs, ws], axis=1)          # (N, 4), sorted by cell
+
+    # segmented prefix sums: after all log2(N) passes, each row holds the sum
+    # of its segment's prefix, so the LAST row of a segment = segment total
+    n = points.shape[0]
+    sh = 1
+    while sh < n:
+        same = jnp.concatenate([jnp.zeros(sh, bool), ks[sh:] == ks[:-sh]])
+        shifted = jnp.concatenate(
+            [jnp.zeros((sh, 4), vals.dtype), vals[:-sh]], axis=0
+        )
+        vals = vals + jnp.where(same[:, None], shifted, 0.0)
+        sh *= 2
+
+    is_last = jnp.concatenate([ks[1:] != ks[:-1], jnp.ones(1, bool)]) & (ks < n_cells)
+    c = jnp.cumsum(is_last.astype(jnp.int32))
+    n_vox = c[-1]
+    j = jnp.arange(m_max, dtype=jnp.int32)
+    src = jnp.clip(jnp.searchsorted(c, j + 1), 0, n - 1)
+    rows = vals[src]
+    out_mask = j < n_vox
+    out = rows[:, :3] / jnp.maximum(rows[:, 3:4], 1.0)
+    out = jnp.where(out_mask[:, None], out, 0.0)
+    return out, out_mask, n_vox
+
+
 def voxel_downsample_sort(
     points: jnp.ndarray,
     mask: jnp.ndarray,

@@ -40,6 +40,7 @@ class FrameStats:
     n_clusters: int
     n_alive: int
     overflow: int
+    nan_velocity: bool = False
 
 
 class TrackerNode:
@@ -89,6 +90,15 @@ class TrackerNode:
         out = jax.tree.map(np.asarray, out)
         wall_ms = 1e3 * (time.perf_counter() - t0)
 
+        # NaN watchdog: the reference only logs "Please restart this node"
+        # (cpp:643-646); we log AND surface it in stats so supervisors can act
+        nan_vel = bool(np.isnan(out.vel[np.asarray(out.valid)]).any()) if out.valid.any() else False
+        if nan_vel:
+            import logging
+
+            logging.getLogger(__name__).error(
+                "NaN detected in GP velocity output at t=%.3f (ref cpp:645)", t
+            )
         self.stats.append(
             FrameStats(
                 t=t,
@@ -99,6 +109,7 @@ class TrackerNode:
                 n_clusters=int(out.n_clusters),
                 n_alive=int(out.n_alive),
                 overflow=int(out.overflow),
+                nan_velocity=nan_vel,
             )
         )
 

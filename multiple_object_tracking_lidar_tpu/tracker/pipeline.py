@@ -156,23 +156,8 @@ def _step_impl(
     config: TrackerConfig,
     gains_xy: dict,
 ) -> tuple[TrackerState, FrameOutput]:
-    # 1. voxel downsample, leaf (V, V, 20V) (cpp:452-456)
-    acc = voxel_accumulate(
-        frame.points.astype(jnp.dtype(config.dtype)),
-        frame.mask,
-        config.scene,
-        config.voxel_leaf_size,
-        config.leaf_z,
-    )
-    return step_from_voxel_acc(
-        state,
-        acc,
-        frame.t,
-        frame.mask.sum(),
-        env,
-        config=config,
-        gains_xy=gains_xy,
-    )
+    p = perceive(frame, env, config=config)
+    return track_step(state, p, config=config, gains_xy=gains_xy)
 
 
 class Perception(NamedTuple):
@@ -200,10 +185,22 @@ def perceive_from_acc(
     compact -> cluster -> circumcenter.  Stateless, so it batches (vmap) over
     frames — the heavy compute runs batched while only the tiny tracking
     back-end is sequential."""
+    vox, vox_mask, n_vox = voxel_finalize(acc, config.caps.m_max_voxels)
+    return _perceive_from_vox(vox, vox_mask, n_vox, t, n_points, env, config=config)
+
+
+def _perceive_from_vox(
+    vox: jax.Array,
+    vox_mask: jax.Array,
+    n_vox: jax.Array,
+    t: jax.Array,
+    n_points: jax.Array,
+    env: MapEnv,
+    *,
+    config: TrackerConfig,
+) -> Perception:
     caps = config.caps
     dtype = jnp.dtype(config.dtype)
-
-    vox, vox_mask, n_vox = voxel_finalize(acc, caps.m_max_voxels)
 
     # 2. static removal: one gather into the precomputed dilated map mask
     #    (cpp:664-706), then order-preserving compaction to the cluster set
@@ -242,6 +239,20 @@ def perceive_from_acc(
 
 def perceive(frame: Frame, env: MapEnv, *, config: TrackerConfig) -> Perception:
     """Full stateless perception front-end for one frame."""
+    if config.voxel_mode == "scan":
+        from multiple_object_tracking_lidar_tpu.ops.voxel import voxel_downsample_scan
+
+        vox, vox_mask, n_vox = voxel_downsample_scan(
+            frame.points.astype(jnp.dtype(config.dtype)),
+            frame.mask,
+            config.scene,
+            config.voxel_leaf_size,
+            config.leaf_z,
+            config.caps.m_max_voxels,
+        )
+        return _perceive_from_vox(
+            vox, vox_mask, n_vox, frame.t, frame.mask.sum(), env, config=config
+        )
     acc = voxel_accumulate(
         frame.points.astype(jnp.dtype(config.dtype)),
         frame.mask,

@@ -6,6 +6,7 @@ from scipy.linalg import solve_discrete_are
 
 import oracle
 from multiple_object_tracking_lidar_tpu.models.ihgp import (
+    smoother_weights,
     dare_fixed_point,
     ihgp_batch,
     ihgp_filter_smoother,
@@ -100,6 +101,7 @@ def test_smoother_weights_match_scan(rng):
     import jax
 
     from multiple_object_tracking_lidar_tpu.models.ihgp import (
+    smoother_weights,
         ihgp_apply_weights,
         smoother_weights_xy,
     )
@@ -148,6 +150,27 @@ def test_nll_grad_finite_difference():
         tm[j] -= h
         fd = (nll(tp) - nll(tm)) / (2 * h)
         np.testing.assert_allclose(grad[j], fd, rtol=1e-3, atol=1e-8)
+
+
+def test_gains_stable_across_hyperparameter_range(rng):
+    """Property test: the DARE/expm pipeline must yield finite, contractive
+    gains over the plausible hyperparameter box (f32-stability guard,
+    SURVEY §7 P4 'hard part #2')."""
+    for _ in range(20):
+        ls2 = rng.uniform(-8, 2)      # logSigma2
+        lm2 = rng.uniform(-6, 2)      # logMagnSigma2
+        lls = rng.uniform(-1.5, 2.0)  # logLengthScale
+        dt = float(rng.uniform(0.02, 0.5))
+        g = stationary_gains(matern32_from_log(ls2, lm2, lls), dt)
+        for name in ("A", "Q", "K", "AKHA", "G", "HA"):
+            assert np.isfinite(getattr(g, name)).all(), (name, ls2, lm2, lls, dt)
+        assert np.isfinite(g.S) and g.S > 0
+        # filter recursion must be a contraction (stationarity)
+        rho = max(abs(np.linalg.eigvals(g.AKHA)))
+        assert rho < 1.0 + 1e-9, (rho, ls2, lm2, lls, dt)
+        # f32 cast keeps everything finite
+        w = smoother_weights(g, 40)
+        assert np.isfinite(np.float32(w["Wy"])).all()
 
 
 def test_lpf_matches_reference_formula():

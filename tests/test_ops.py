@@ -203,3 +203,21 @@ def test_circumcenter_collinear_falls_back_to_pi():
         circumcenter_features(p, members, mmask, jnp.array([True]), jnp.float32(0.0), chunk=1)
     )
     np.testing.assert_allclose(out[0, :2], want, atol=1e-6)
+
+
+@pytest.mark.parametrize("mode", ["scan"])
+def test_voxel_scan_matches_dense(rng, mode):
+    from multiple_object_tracking_lidar_tpu.ops.voxel import voxel_downsample_scan
+
+    pts = rng.uniform(-3.5, 3.5, (400, 3)).astype(np.float32)
+    pts[:, 2] = rng.uniform(-0.5, 2.5, 400)
+    p, m = _pad(pts, 512)
+    a_vox, a_mask, a_n = voxel_downsample_dense(p, m, SCENE, 0.25, 5.0, 512)
+    b_vox, b_mask, b_n = voxel_downsample_scan(p, m, SCENE, 0.25, 5.0, 512)
+    assert int(a_n) == int(b_n)
+    np.testing.assert_array_equal(np.asarray(a_mask), np.asarray(b_mask))
+    np.testing.assert_allclose(
+        np.asarray(a_vox)[np.asarray(a_mask)],
+        np.asarray(b_vox)[np.asarray(b_mask)],
+        rtol=2e-6, atol=1e-6,
+    )
