@@ -27,7 +27,7 @@ hyperparameter-learning mode (the reference's dead IHGP_nonfixed, cpp:922-1011).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
+
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,6 @@ distances in meters.
 
 from __future__ import annotations
 
-from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -26,7 +26,7 @@ CPU-emulated 8-device mesh in tests (SURVEY §4).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
+
 
 import jax
 import jax.numpy as jnp

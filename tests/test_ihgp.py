@@ -101,7 +101,6 @@ def test_smoother_weights_match_scan(rng):
     import jax
 
     from multiple_object_tracking_lidar_tpu.models.ihgp import (
-    smoother_weights,
         ihgp_apply_weights,
         smoother_weights_xy,
     )
