@@ -69,6 +69,9 @@ class TrackerNode:
         self.env = build_static_mask(
             grid, self.config.static_tolarance, self.config.occupied_threshold
         )
+        # bind the map into the compiled step (constants baked, no per-call
+        # env transfer); rebinding on map updates recompiles — maps are rare
+        self._bound_step = self.tracker.bind_env(self.env, donate_state=False)
 
     # -- pointcloud callback (cpp:123-233) ----------------------------------
     def on_pointcloud(self, msg: PointCloud2):
@@ -86,7 +89,7 @@ class TrackerNode:
         t0 = time.perf_counter()
         pts, mask = decode_pointcloud2(msg, self.config.caps.n_max_points)
         frame = Frame(points=pts, mask=mask, t=np.float32(t))
-        self.state, out = self.tracker.step(self.state, frame, self.env)
+        self.state, out = self._bound_step(self.state, frame)
         out = jax.tree.map(np.asarray, out)
         wall_ms = 1e3 * (time.perf_counter() - t0)
 
