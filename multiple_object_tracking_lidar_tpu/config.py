@@ -106,7 +106,8 @@ class TrackerConfig:
     assoc_cond_branch: bool = True       # lax.cond fast/slow association (set False
                                          # under shard_map — see ops/assign.py)
     cluster_backend: str = "jnp"         # "jnp" | "pallas" (fused VMEM kernel)
-    voxel_mode: str = "dense"            # "dense" (scatter grid) | "scan"
+    voxel_mode: str = "dense"            # "dense" (scatter grid) | "runs" (Pallas
+                                         # sorted-runs kernel, deterministic) | "scan"
                                          # (scatter-free sort+segsum; see
                                          # docs/PERFORMANCE.md on the scatter lottery)
     dtype: str = "float32"               # device compute dtype

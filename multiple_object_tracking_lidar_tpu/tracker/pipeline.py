@@ -18,6 +18,7 @@ program with masks (no recompilation, no host branching):
 
 from __future__ import annotations
 
+import functools
 from functools import partial
 from typing import NamedTuple
 
@@ -239,10 +240,24 @@ def _perceive_from_vox(
 
 def perceive(frame: Frame, env: MapEnv, *, config: TrackerConfig) -> Perception:
     """Full stateless perception front-end for one frame."""
-    if config.voxel_mode == "scan":
-        from multiple_object_tracking_lidar_tpu.ops.voxel import voxel_downsample_scan
+    if config.voxel_mode in ("scan", "runs"):
+        if config.voxel_mode == "runs":
+            # Pallas sorted-runs kernel: deterministic lowering, sidesteps
+            # the XLA scatter compile lottery (docs/PERFORMANCE.md)
+            from multiple_object_tracking_lidar_tpu.ops.voxel_pallas import (
+                voxel_downsample_runs,
+            )
 
-        vox, vox_mask, n_vox = voxel_downsample_scan(
+            downsample = functools.partial(
+                voxel_downsample_runs,
+                interpret=jax.default_backend() != "tpu",
+            )
+        else:
+            from multiple_object_tracking_lidar_tpu.ops.voxel import (
+                voxel_downsample_scan as downsample,
+            )
+
+        vox, vox_mask, n_vox = downsample(
             frame.points.astype(jnp.dtype(config.dtype)),
             frame.mask,
             config.scene,

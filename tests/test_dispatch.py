@@ -160,3 +160,25 @@ def test_ihgp_position_mode_matches_oracle(fixture_map):
             continue
         np.testing.assert_allclose(got[0], pos_x, atol=1e-9, err_msg=f"frame {k} pos")
         np.testing.assert_allclose(got[1], vel_x, atol=1e-9, err_msg=f"frame {k} vel")
+
+
+def test_pipeline_voxel_runs_mode_matches_dense(fixture_map):
+    """voxel_mode='runs' (Pallas sorted-runs kernel, interpret on CPU) must
+    produce the same tracking results as the dense scatter grid."""
+    cfg_d = _cfg()
+    cfg_r = _cfg().replace(voxel_mode="runs")
+    td, tr = Tracker(cfg_d), Tracker(cfg_r)
+    env = build_static_mask(fixture_map, cfg_d.static_tolarance)
+    frames = _frames(cfg_d, fixture_map, 4)
+    sd, sr = td.init_state(), tr.init_state()
+    for f in frames:
+        sd, od = td.step(sd, f, env)
+        sr, orr = tr.step(sr, f, env)
+        np.testing.assert_array_equal(np.asarray(od.valid), np.asarray(orr.valid))
+        np.testing.assert_array_equal(np.asarray(od.obj_id), np.asarray(orr.obj_id))
+        np.testing.assert_allclose(
+            np.asarray(od.pos), np.asarray(orr.pos), rtol=1e-4, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(od.vel), np.asarray(orr.vel), rtol=1e-3, atol=1e-4
+        )
