@@ -88,3 +88,20 @@ def test_checkpoint_resume_bitexact(fixture_map, tmp_path):
             assert oa.id == ob.id
             np.testing.assert_array_equal(oa.position, ob.position)
             np.testing.assert_array_equal(oa.velocity, ob.velocity)
+
+
+def test_stage_timer_summary():
+    import time
+
+    from multiple_object_tracking_lidar_tpu.runtime.profiler import StageTimer
+
+    t = StageTimer()
+    for _ in range(5):
+        with t.stage("decode"):
+            time.sleep(0.001)
+        t.record("step", 2.0)
+    s = t.summary(skip_warmup=1)
+    assert s["decode"].count == 5
+    assert s["decode"].mean_ms >= 1.0
+    assert s["step"].p50_ms == 2.0
+    assert "decode" in t.report()
