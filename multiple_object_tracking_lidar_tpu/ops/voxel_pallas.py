@@ -136,12 +136,16 @@ def voxel_downsample_runs(
 
     n = points.shape[0]
     is_last = jnp.concatenate([ks[1:] != ks[:-1], jnp.ones(1, bool)]) & (ks < n_cells)
-    c = jnp.cumsum(is_last.astype(jnp.int32))
-    n_vox = c[-1]
-    j = jnp.arange(m_max, dtype=jnp.int32)
-    src = jnp.clip(jnp.searchsorted(c, j + 1), 0, n - 1)
-    rows = totals[src]
-    out_mask = j < n_vox
+    n_vox = is_last.sum()
+    # gather-only compaction via ONE MORE SORT: boundary rows keep their
+    # (ascending) index, others go to the back.  jnp.searchsorted lowers to
+    # ~17 rounds of random scalar gathers (~1 ms at this size) while sorts
+    # are reliably fast on this stack (docs/PERFORMANCE.md).
+    src = jnp.sort(
+        jnp.where(is_last, jnp.arange(n, dtype=jnp.int32), jnp.int32(n))
+    )[:m_max]
+    out_mask = src < n
+    rows = totals[jnp.clip(src, 0, n - 1)]
     out = rows[:, :3] / jnp.maximum(rows[:, 3:4], 1.0)
     out = jnp.where(out_mask[:, None], out, 0.0)
     return out, out_mask, n_vox
