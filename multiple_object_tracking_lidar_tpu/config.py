@@ -62,7 +62,7 @@ class Capacities:
     p_max_cluster: int = 512        # points per cluster for feature extraction
     k_max_tracks: int = 64          # live tracks in the bank
     label_prop_iters: int = 32      # outer label-propagation sweeps (cap)
-    pointer_jumps: int = 4          # pointer-jumping rounds per sweep
+    pointer_jumps: int = 2          # pointer-jumping rounds per sweep
     max_dup_passes: int = 3         # exact replication of the reference's
                                     # repeated GP runs when <= N detections
                                     # match one track in a frame (cpp quirk);

@@ -40,6 +40,10 @@ class Clusters(NamedTuple):
     sizes: jax.Array         # (C,) points per cluster
     members: jax.Array       # (C, P) point indices (into the M point array)
     member_mask: jax.Array   # (C, P)
+    sorted_pts: jax.Array    # (M + P, 3) points permuted to (cluster, index)
+                             # order, zero-padded; cluster c's members are the
+                             # contiguous rows [starts[c], starts[c]+sizes[c])
+    starts: jax.Array        # (C,) row offsets into sorted_pts
     n_clusters: jax.Array    # scalar
     n_iters: jax.Array       # scalar — label-prop sweeps used
 
@@ -176,6 +180,14 @@ def euclidean_cluster(
         member_mask, perm[jnp.clip(gather_idx, 0, m - 1)], 0
     ).astype(jnp.int32)
 
+    # contiguous member layout: one (M,3) row gather; downstream per-cluster
+    # access becomes dynamic slices instead of (C*P) random scalar gathers
+    # (the member table above is kept for the API and is dead-code-eliminated
+    # by XLA when unused)
+    sorted_pts = jnp.concatenate(
+        [pts[perm], jnp.zeros((p_max, 3), pts.dtype)], axis=0
+    )
+
     return Clusters(
         labels=labels,
         counts=counts,
@@ -185,6 +197,8 @@ def euclidean_cluster(
         sizes=sizes,
         members=members,
         member_mask=member_mask,
+        sorted_pts=sorted_pts,
+        starts=starts.astype(jnp.int32),
         n_clusters=n_clusters,
         n_iters=n_iters,
     )

@@ -34,7 +34,7 @@ from multiple_object_tracking_lidar_tpu.models.ihgp import (
 from multiple_object_tracking_lidar_tpu.models.lpf import lpf_pos
 from multiple_object_tracking_lidar_tpu.models.matern32 import matern32_from_log
 from multiple_object_tracking_lidar_tpu.ops.assign import associate_and_update
-from multiple_object_tracking_lidar_tpu.ops.centroid import circumcenter_features
+from multiple_object_tracking_lidar_tpu.ops.centroid import circumcenter_features_sorted
 from multiple_object_tracking_lidar_tpu.ops.cluster import euclidean_cluster
 from multiple_object_tracking_lidar_tpu.ops.compact import compact_points
 from multiple_object_tracking_lidar_tpu.ops.static_mask import MapEnv, remove_static
@@ -223,8 +223,13 @@ def _perceive_from_vox(
     )
 
     # 4. circumcenter features (cpp:708-822)
-    dets = circumcenter_features(
-        pts, clusters.members, clusters.member_mask, clusters.cluster_valid, t
+    dets = circumcenter_features_sorted(
+        clusters.sorted_pts,
+        clusters.starts,
+        clusters.sizes,
+        clusters.cluster_valid,
+        t,
+        caps.p_max_cluster,
     ).astype(dtype)
 
     return Perception(
