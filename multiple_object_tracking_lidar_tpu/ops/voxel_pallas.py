@@ -131,8 +131,8 @@ def voxel_downsample_runs(
         (keys, points[:, 0] * w, points[:, 1] * w, points[:, 2] * w, w),
         num_keys=1,
     )
-    vals = jnp.stack([xs, ys, zs, ws], axis=1)
-    totals = segment_totals_pallas(ks, vals, interpret=interpret)
+    tx, ty, tz, tw = segment_totals_raster(ks, xs, ys, zs, ws, interpret=interpret)
+    totals = jnp.stack([tx, ty, tz, tw], axis=1)
 
     n = points.shape[0]
     is_last = jnp.concatenate([ks[1:] != ks[:-1], jnp.ones(1, bool)]) & (ks < n_cells)
@@ -149,3 +149,107 @@ def voxel_downsample_runs(
     out = rows[:, :3] / jnp.maximum(rows[:, 3:4], 1.0)
     out = jnp.where(out_mask[:, None], out, 0.0)
     return out, out_mask, n_vox
+
+
+# ---------------------------------------------------------------------------
+# Raster-layout variant: full lane utilization
+# ---------------------------------------------------------------------------
+
+_RB = 64  # raster rows per block (flat elements per block = _RB * 128)
+
+
+def _segsum_raster_kernel(
+    ks_ref, x_ref, y_ref, z_ref, w_ref,
+    ox_ref, oy_ref, oz_ref, ow_ref,
+    ck, cx, cy, cz, cw,
+    rb: int,
+):
+    """Segmented prefix sums over row-major (R, 128) rasters of key-sorted
+    data.  A flat shift by ``sh`` is a lane roll (+ previous-row fill) for
+    sh < 128 and a row roll for multiples of 128; all resident in VMEM."""
+    b = pl.program_id(0)
+    lanes = 128
+    ks = ks_ref[:]                       # (rb, 128) i32
+    ch = [x_ref[:], y_ref[:], z_ref[:], w_ref[:]]
+
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (rb, lanes), 0)
+    lane_i = jax.lax.broadcasted_iota(jnp.int32, (rb, lanes), 1)
+    flat_i = row_i * lanes + lane_i
+
+    def shift(a, sh):
+        if sh < lanes:
+            rolled = pltpu.roll(a, sh, axis=1)
+            prev = pltpu.roll(rolled, 1, axis=0)
+            return jnp.where(lane_i >= sh, rolled, prev)
+        return pltpu.roll(a, sh // lanes, axis=0)
+
+    sh = 1
+    total = rb * lanes
+    while sh < total:
+        ks_sh = shift(ks, sh)
+        same = ((ks_sh == ks) & (flat_i >= sh)).astype(jnp.float32)
+        ch = [c + shift(c, sh) * same for c in ch]
+        sh *= 2
+
+    # fold the previous block's trailing partial segment into rows whose key
+    # matches the carried key (only the raster's first segment can match)
+    carry = [cx, cy, cz, cw]
+
+    @pl.when(b > 0)
+    def _():
+        mask = (ks == ck[0]).astype(jnp.float32)
+        for out_ref, c, cr in zip((ox_ref, oy_ref, oz_ref, ow_ref), ch, carry):
+            out_ref[:] = c + mask * cr[0]
+
+    @pl.when(b == 0)
+    def _():
+        for out_ref, c in zip((ox_ref, oy_ref, oz_ref, ow_ref), ch):
+            out_ref[:] = c
+
+    ck[0] = ks[rb - 1, lanes - 1]
+    for cr, out_ref in zip(carry, (ox_ref, oy_ref, oz_ref, ow_ref)):
+        cr[0] = out_ref[rb - 1, lanes - 1]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def segment_totals_raster(
+    ks: jax.Array,                       # (N,) int32, sorted ascending
+    xs: jax.Array, ys: jax.Array, zs: jax.Array, ws: jax.Array,  # (N,) f32
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Per-channel segmented prefix sums (row i = sum of its segment's prefix);
+    the last row of each segment holds the segment total.  Full 128-lane
+    utilization: inputs reshape to (N/128, 128) rasters for free."""
+    n = ks.shape[0]
+    lanes = 128
+    if n % lanes != 0:
+        raise ValueError(f"N must be a multiple of {lanes}, got {n}")
+    r = n // lanes
+    rb = min(_RB, r)
+    if r % rb != 0:
+        raise ValueError(f"N/128 must be a multiple of {rb}, got {r}")
+    grid = r // rb
+    shape2 = jax.ShapeDtypeStruct((r, lanes), jnp.float32)
+    spec = pl.BlockSpec((rb, lanes), lambda b: (b, 0), memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        functools.partial(_segsum_raster_kernel, rb=rb),
+        grid=(grid,),
+        in_specs=[spec] * 5,
+        out_specs=[spec] * 4,
+        out_shape=[shape2] * 4,
+        scratch_shapes=[
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.SMEM((1,), jnp.float32),
+            pltpu.SMEM((1,), jnp.float32),
+            pltpu.SMEM((1,), jnp.float32),
+            pltpu.SMEM((1,), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        ks.astype(jnp.int32).reshape(r, lanes),
+        xs.astype(jnp.float32).reshape(r, lanes),
+        ys.astype(jnp.float32).reshape(r, lanes),
+        zs.astype(jnp.float32).reshape(r, lanes),
+        ws.astype(jnp.float32).reshape(r, lanes),
+    )
+    return tuple(o.reshape(n) for o in outs)
