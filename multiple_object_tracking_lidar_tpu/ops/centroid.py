@@ -45,8 +45,15 @@ def _one_cluster(mp: jnp.ndarray, mm: jnp.ndarray) -> jnp.ndarray:
     iu = jnp.arange(p)
     pair_mask = mm[:, None] & mm[None, :] & (iu[:, None] < iu[None, :])
     d2m = jnp.where(pair_mask, d2, -1.0)
-    flat = jnp.argmax(d2m)  # first max in (i, j) lexicographic order
-    i_star, j_star = flat // p, flat % p
+    # first max in (i, j) lexicographic order, via row-wise reduction (the
+    # flattened-argmax form forces a (P, P) transpose copy on TPU):
+    # argmax picks the FIRST max along each axis, so (first max row, first
+    # max col within it) == first lexicographic (i, j) — the reference's
+    # strict-> update rule (cpp:749)
+    row_max = jnp.max(d2m, axis=1)
+    row_arg = jnp.argmax(d2m, axis=1)
+    i_star = jnp.argmax(row_max)
+    j_star = row_arg[i_star]
     pi = mp[i_star]
     pj = mp[j_star]
 
