@@ -127,12 +127,12 @@ def voxel_downsample_runs(
     keys = jnp.where(in_bounds, lin, n_cells).astype(jnp.int32)
     w = in_bounds.astype(jnp.float32)
 
-    ks, xs, ys, zs, ws = jax.lax.sort(
-        (keys, points[:, 0] * w, points[:, 1] * w, points[:, 2] * w, w),
+    ks, xs, ys, zs = jax.lax.sort(
+        (keys, points[:, 0] * w, points[:, 1] * w, points[:, 2] * w),
         num_keys=1,
     )
-    tx, ty, tz, tw = segment_totals_raster(ks, xs, ys, zs, ws, interpret=interpret)
-    totals = jnp.stack([tx, ty, tz, tw], axis=1)
+    tx, ty, tz = segment_totals_raster(ks, xs, ys, zs, interpret=interpret)
+    totals = jnp.stack([tx, ty, tz], axis=1)
 
     n = points.shape[0]
     is_last = jnp.concatenate([ks[1:] != ks[:-1], jnp.ones(1, bool)]) & (ks < n_cells)
@@ -146,7 +146,11 @@ def voxel_downsample_runs(
     )[:m_max]
     out_mask = src < n
     rows = totals[jnp.clip(src, 0, n - 1)]
-    out = rows[:, :3] / jnp.maximum(rows[:, 3:4], 1.0)
+    # per-voxel counts come free from boundary positions: segments are
+    # contiguous in the sorted order, so count_j = src_j - src_{j-1}
+    prev = jnp.concatenate([jnp.full(1, -1, jnp.int32), src[:-1]])
+    counts = jnp.where(out_mask, src - prev, 1).astype(points.dtype)
+    out = rows / jnp.maximum(counts[:, None], 1.0)
     out = jnp.where(out_mask[:, None], out, 0.0)
     return out, out_mask, n_vox
 
@@ -159,9 +163,9 @@ _RB = 64  # raster rows per block (flat elements per block = _RB * 128)
 
 
 def _segsum_raster_kernel(
-    ks_ref, x_ref, y_ref, z_ref, w_ref,
-    ox_ref, oy_ref, oz_ref, ow_ref,
-    ck, cx, cy, cz, cw,
+    ks_ref, x_ref, y_ref, z_ref,
+    ox_ref, oy_ref, oz_ref,
+    ck, cx, cy, cz,
     rb: int,
 ):
     """Segmented prefix sums over row-major (R, 128) rasters of key-sorted
@@ -170,7 +174,7 @@ def _segsum_raster_kernel(
     b = pl.program_id(0)
     lanes = 128
     ks = ks_ref[:]                       # (rb, 128) i32
-    ch = [x_ref[:], y_ref[:], z_ref[:], w_ref[:]]
+    ch = [x_ref[:], y_ref[:], z_ref[:]]
 
     row_i = jax.lax.broadcasted_iota(jnp.int32, (rb, lanes), 0)
     lane_i = jax.lax.broadcasted_iota(jnp.int32, (rb, lanes), 1)
@@ -193,30 +197,30 @@ def _segsum_raster_kernel(
 
     # fold the previous block's trailing partial segment into rows whose key
     # matches the carried key (only the raster's first segment can match)
-    carry = [cx, cy, cz, cw]
+    carry = [cx, cy, cz]
 
     @pl.when(b > 0)
     def _():
         mask = (ks == ck[0]).astype(jnp.float32)
-        for out_ref, c, cr in zip((ox_ref, oy_ref, oz_ref, ow_ref), ch, carry):
+        for out_ref, c, cr in zip((ox_ref, oy_ref, oz_ref), ch, carry):
             out_ref[:] = c + mask * cr[0]
 
     @pl.when(b == 0)
     def _():
-        for out_ref, c in zip((ox_ref, oy_ref, oz_ref, ow_ref), ch):
+        for out_ref, c in zip((ox_ref, oy_ref, oz_ref), ch):
             out_ref[:] = c
 
     ck[0] = ks[rb - 1, lanes - 1]
-    for cr, out_ref in zip(carry, (ox_ref, oy_ref, oz_ref, ow_ref)):
+    for cr, out_ref in zip(carry, (ox_ref, oy_ref, oz_ref)):
         cr[0] = out_ref[rb - 1, lanes - 1]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def segment_totals_raster(
     ks: jax.Array,                       # (N,) int32, sorted ascending
-    xs: jax.Array, ys: jax.Array, zs: jax.Array, ws: jax.Array,  # (N,) f32
+    xs: jax.Array, ys: jax.Array, zs: jax.Array,  # (N,) f32
     interpret: bool = False,
-) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Per-channel segmented prefix sums (row i = sum of its segment's prefix);
     the last row of each segment holds the segment total.  Full 128-lane
     utilization: inputs reshape to (N/128, 128) rasters for free."""
@@ -234,12 +238,11 @@ def segment_totals_raster(
     outs = pl.pallas_call(
         functools.partial(_segsum_raster_kernel, rb=rb),
         grid=(grid,),
-        in_specs=[spec] * 5,
-        out_specs=[spec] * 4,
-        out_shape=[shape2] * 4,
+        in_specs=[spec] * 4,
+        out_specs=[spec] * 3,
+        out_shape=[shape2] * 3,
         scratch_shapes=[
             pltpu.SMEM((1,), jnp.int32),
-            pltpu.SMEM((1,), jnp.float32),
             pltpu.SMEM((1,), jnp.float32),
             pltpu.SMEM((1,), jnp.float32),
             pltpu.SMEM((1,), jnp.float32),
@@ -250,6 +253,5 @@ def segment_totals_raster(
         xs.astype(jnp.float32).reshape(r, lanes),
         ys.astype(jnp.float32).reshape(r, lanes),
         zs.astype(jnp.float32).reshape(r, lanes),
-        ws.astype(jnp.float32).reshape(r, lanes),
     )
     return tuple(o.reshape(n) for o in outs)
