@@ -173,3 +173,34 @@ def test_track_ids_stable_under_motion(fixture_map, tiny_config):
             if out.valid[i]:
                 ids.add(int(out.obj_id[i]))
     assert ids == {0}, f"track fragmented: {ids}"
+
+
+def test_dynamic_capacity_overflow_reported(fixture_map):
+    """More dynamic points than m_max_dynamic: truncated (documented
+    deviation) and reported via n_dynamic > capacity; pipeline keeps working."""
+    cfg = TrackerConfig(
+        voxel_leaf_size=0.1,
+        data_length=6,
+        caps=Capacities(
+            n_max_points=2048,
+            m_max_voxels=512,
+            m_max_dynamic=32,   # tiny: the object alone overflows it
+            c_max_clusters=8,
+            p_max_cluster=32,
+            k_max_tracks=8,
+        ),
+    )
+    tracker = Tracker(cfg)
+    env = build_static_mask(fixture_map, cfg.static_tolarance)
+    sc = Scenario(
+        grid=fixture_map,
+        objects=[ScenarioObject(0.0, 1.0, 0.0, 0.0, points_per_frame=600, radius=0.8)],
+        static_points_per_frame=0,
+        seed=13,
+    )
+    state = tracker.init_state()
+    for k in range(3):
+        pts, t = sc.frame_arrays(k)
+        state, out = tracker.step(state, _frame(pts, t, cfg.caps.n_max_points), env)
+    assert int(out.n_dynamic) > cfg.caps.m_max_dynamic  # true count reported
+    assert np.isfinite(np.asarray(out.pos)).all()
