@@ -67,6 +67,16 @@ def decode_pc2_native(msg, n_max: int) -> tuple[np.ndarray, np.ndarray] | None:
         return None
     if not (xdt == ydt == zdt == 7):  # FLOAT32 only in the native path
         return None
+    # Bounds validation before handing raw pointers to C: the native decoder
+    # reads data + i*point_step + off with no checks of its own, so a malformed
+    # or truncated message must fall back to the (raising) NumPy path instead
+    # of reading out of bounds on the host.
+    if msg.n_points < 0 or msg.point_step <= 0:
+        return None
+    if max(xo, yo, zo) + 4 > msg.point_step:
+        return None
+    if len(msg.data) < msg.n_points * msg.point_step:
+        return None
 
     out = np.empty((n_max, 3), dtype=np.float32)
     mask = np.empty(n_max, dtype=np.uint8)

@@ -113,14 +113,7 @@ def associate_and_update(
     # overwhelmingly common frame, so a cheap parallel block handles it and a
     # `lax.cond` falls back to the order-faithful scan only on conflicts.
     fdt = dets.dtype
-    bigf = jnp.asarray(3e38, fdt)
-    idxKf = idxK.astype(fdt)
     thr = jnp.asarray(id_threshold, fdt)
-    allow_f = (
-        allow_match
-        if isinstance(allow_match, bool)
-        else allow_match.astype(fdt)
-    )
 
     L_last = bank.window[:, L - 1, :]
     allow_b = (
@@ -187,29 +180,32 @@ def associate_and_update(
         )
 
     def step(carry, xs):
-        a, nobj, nbirth, ovf = carry          # a: (K, 6) f32
+        # af: (K, 3) float [last x, last y, last t]; ai: (K, 3) int32
+        # [alive, obj_id, birth_seq] — identity stays integral so ids/births
+        # beyond 2**24 survive a long-lived deployment exactly.
+        af, ai, nobj, nbirth, ovf = carry
         det, dv = xs
-        dvf = dv.astype(fdt)
 
-        dx = det[0] - a[:, 3]
-        dy = det[1] - a[:, 4]
+        dx = det[0] - af[:, 0]
+        dy = det[1] - af[:, 1]
         dist = jnp.sqrt(dx * dx + dy * dy)
-        alive = a[:, 0]
-        gate = (alive > 0) & (dist < thr)
-        if isinstance(allow_f, bool):
-            if not allow_f:
+        alive = ai[:, 0] > 0
+        gate = alive & (dist < thr)
+        if isinstance(allow_match, bool):
+            if not allow_match:
                 gate = gate & False
         else:
-            gate = gate & (allow_f > 0)
+            gate = gate & allow_b
         any_match = gate.any()
 
-        slot_m = jnp.argmin(jnp.where(gate, a[:, 2], bigf))     # min birth_seq
-        slot_n = jnp.argmin(jnp.where(alive > 0, bigf, idxKf))  # first free
-        bank_full = alive.min() > 0
+        slot_m = jnp.argmin(jnp.where(gate, ai[:, 2], _INT_BIG))   # min birth_seq
+        slot_n = jnp.argmin(jnp.where(alive, _INT_BIG, idxK))      # first free
+        bank_full = alive.all()
         slot = jnp.where(any_match, slot_m, slot_n).astype(jnp.int32)
 
-        row = a[slot]
-        gap = det[3] - row[5]
+        rowf = af[slot]
+        rowi = ai[slot]
+        gap = det[3] - rowf[2]
         do_interp = any_match & (gap > interp_gap_factor * dt_gp) & (
             jnp.round(gap / dt_gp) - 1.0 >= 1.0
         )
@@ -217,66 +213,65 @@ def associate_and_update(
         register = dv & ~any_match & ~bank_full
         matched = dv & any_match
         write = matched | register
-        wf = write.astype(fdt)
-        rf = register.astype(fdt)
+        ri = register.astype(jnp.int32)
 
-        new_row = jnp.stack(
+        new_rowf = jnp.where(write, jnp.stack([det[0], det[1], det[3]]), rowf)
+        new_rowi = jnp.stack(
             [
-                jnp.maximum(row[0], rf),                              # alive
-                row[1] * (1.0 - rf) + nobj * rf,                      # obj_id
-                row[2] * (1.0 - rf) + nbirth * rf,                    # birth
-                row[3] * (1.0 - wf) + det[0] * wf,
-                row[4] * (1.0 - wf) + det[1] * wf,
-                row[5] * (1.0 - wf) + det[3] * wf,
+                jnp.maximum(rowi[0], ri),                 # alive
+                jnp.where(register, nobj, rowi[1]),       # obj_id
+                jnp.where(register, nbirth, rowi[2]),     # birth
             ]
         )
-        a = a.at[slot].set(new_row)
+        af = af.at[slot].set(new_rowf)
+        ai = ai.at[slot].set(new_rowi)
 
-        out_id = jnp.where(matched, row[1], jnp.where(register, nobj, -1.0))
-        nobj = nobj + rf
-        nbirth = nbirth + rf
-        ovf = ovf + dvf * (1.0 - jnp.asarray(any_match, fdt)) * jnp.asarray(bank_full, fdt)
+        out_id = jnp.where(matched, rowi[1], jnp.where(register, nobj, -1))
+        nobj = nobj + ri
+        nbirth = nbirth + ri
+        ovf = ovf + (dv & ~any_match & bank_full).astype(jnp.int32)
         out_row = jnp.stack(
             [
-                slot.astype(fdt),
+                slot,
                 out_id,
-                rf,
-                wf,
-                (do_interp & write).astype(fdt),
+                ri,
+                write.astype(jnp.int32),
+                (do_interp & write).astype(jnp.int32),
             ]
         )
-        return (a, nobj, nbirth, ovf), out_row
+        return (af, ai, nobj, nbirth, ovf), out_row
 
-    a0 = jnp.stack(
+    af0 = jnp.stack(
         [
-            bank.alive.astype(fdt),
-            bank.obj_id.astype(fdt),
-            bank.birth_seq.astype(fdt),
             bank.window[:, L - 1, 0].astype(fdt),
             bank.window[:, L - 1, 1].astype(fdt),
             bank.window[:, L - 1, 3].astype(fdt),
         ],
         axis=1,
     )
+    ai0 = jnp.stack(
+        [bank.alive.astype(jnp.int32), bank.obj_id, bank.birth_seq], axis=1
+    )
     carry0 = (
-        a0,
-        next_obj_num.astype(fdt),
-        next_birth.astype(fdt),
-        next_obj_num.astype(fdt) * 0.0,  # ovf seed, varying-typed
+        af0,
+        ai0,
+        next_obj_num.astype(jnp.int32),
+        next_birth.astype(jnp.int32),
+        jnp.int32(0),
     )
     def slow_fn(_):
-        (a_fin, nobj_f, nbirth_f, ovf_f), outs = jax.lax.scan(
+        (_, ai_fin, nobj_f, nbirth_f, ovf_f), outs = jax.lax.scan(
             step, carry0, (dets, det_valid), unroll=4
         )
         return (
-            a_fin[:, 0] > 0,
-            a_fin[:, 1].astype(jnp.int32),
-            a_fin[:, 2].astype(jnp.int32),
-            nobj_f.astype(jnp.int32),
-            nbirth_f.astype(jnp.int32),
-            ovf_f.astype(jnp.int32),
-            outs[:, 0].astype(jnp.int32),
-            outs[:, 1].astype(jnp.int32),
+            ai_fin[:, 0] > 0,
+            ai_fin[:, 1],
+            ai_fin[:, 2],
+            nobj_f,
+            nbirth_f,
+            ovf_f,
+            outs[:, 0],
+            outs[:, 1],
             outs[:, 2] > 0,
             outs[:, 3] > 0,
             outs[:, 4] > 0,

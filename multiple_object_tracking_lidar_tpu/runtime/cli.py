@@ -143,10 +143,12 @@ def cmd_tune(args) -> int:
         for i in np.nonzero(alive)[0]:
             v = (w[i, 1:, 0] - w[i, :-1, 0]) / cfg.dt_gp
             windows.append(v - v.mean())
-    y = jnp.asarray(np.stack(windows), jnp.float64)
+    # float32 explicitly: the device learning step runs in single precision
+    # (f64 expm is not supported by the TPU compiler; jax_enable_x64 is off)
+    y = jnp.asarray(np.stack(windows), jnp.float32)
     mask = jnp.ones(len(windows), bool)
 
-    lp = jnp.asarray([cfg.logSigma2_x, cfg.logMagnSigma2_x, cfg.logLengthScale_x], jnp.float64)
+    lp = jnp.asarray([cfg.logSigma2_x, cfg.logMagnSigma2_x, cfg.logLengthScale_x], jnp.float32)
     for step_i in range(args.steps):
         lp, nll = learning_step(lp, y, mask, cfg.dt_gp)
         print(

@@ -41,6 +41,7 @@ class FrameStats:
     n_alive: int
     overflow: int
     nan_velocity: bool = False
+    dup_saturated: int = 0  # tracks past max_dup_passes (parity approximation)
 
 
 class TrackerNode:
@@ -56,6 +57,7 @@ class TrackerNode:
         self.state = self.tracker.init_state()
         self.env: MapEnv | None = None
         self.time_init: float = time.time()  # cpp:74 — now() at init
+        self._first_frame = True  # epoch fixups apply only until first register
         self._rand = GlibcRand(config.color_seed)  # cpp:75
         self.colors: dict[int, tuple[float, float, float, float]] = {}
         self._known_ids = 0
@@ -79,9 +81,14 @@ class TrackerNode:
             return None  # map not initialized: skip (cpp:128-131)
 
         stamp = msg.stamp
-        if stamp < 1.0e9:
-            # simulator clock (small stamps): epoch 0 ... then the negative-
-            # offset fixup pins time_init to the first stamp (cpp:132-139)
+        if self._first_frame:
+            # exact reference fixups (cpp:132-139), applied on every callback
+            # until the first non-empty frame registers tracks: small stamps
+            # (simulator clock) reset the epoch to 0 so t = raw stamp; then a
+            # negative offset (e.g. replayed bag older than node start) pins
+            # the epoch to the stamp — for real-world stamps too.
+            if stamp < 1.0e9:
+                self.time_init = 0.0
             if stamp - self.time_init < 0:
                 self.time_init = stamp
         t = stamp - self.time_init
@@ -113,7 +120,11 @@ class TrackerNode:
                 n_alive=int(out.n_alive),
                 overflow=int(out.overflow),
                 nan_velocity=nan_vel,
+                dup_saturated=int(out.dup_saturated),
             )
+        )
+        self._first_frame = self._first_frame and not bool(
+            np.asarray(self.state.initialized)
         )
 
         # per-track colors in registration order (cpp:537-542)

@@ -122,8 +122,10 @@ class Tracker:
         """Highest-throughput shape: the stateless perception front-end (all
         the heavy compute) runs BATCHED over the frame axis in one program
         (vmap), and only the tiny stateful tracking back-end scans the
-        sequential chain in a second program.  Bit-identical outputs to
-        frame-by-frame step() — perception never reads tracker state.
+        sequential chain in a second program.  Numerically equivalent to
+        frame-by-frame step() at ulp level (XLA may reorder f32 ops across
+        the two-program split; see tests/test_dispatch.py); for bit-identical
+        semantics use bind_env_multi.  Perception never reads tracker state.
         Returns ``run(state, frames_stacked) -> (state, outputs_stacked)``."""
         cfg, gains = self.config, self.gains_xy
 
@@ -443,5 +445,6 @@ def track_step(
         n_clusters=p.n_clusters,
         n_alive=alive.sum(),
         overflow=assoc.overflow,
+        dup_saturated=(mult > n_pass).sum(),
     )
     return new_state, out

@@ -64,6 +64,10 @@ class FrameOutput(NamedTuple):
     n_clusters: jax.Array
     n_alive: jax.Array
     overflow: jax.Array   # detections dropped because the bank was full
+    dup_saturated: jax.Array  # tracks whose duplicate-match count exceeded
+    #   max_dup_passes this frame — later duplicates publish the last pass's
+    #   output (approximation of the reference's unbounded chained GP passes,
+    #   cpp:629-659); nonzero means strict parity is not guaranteed this frame
 
 
 def init_state(k_max: int, data_length: int, dtype=jnp.float32) -> TrackerState:

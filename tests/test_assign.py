@@ -134,6 +134,29 @@ def test_bank_overflow_drops_detection():
     assert int(r.next_obj_num) == 8  # id counter not advanced
 
 
+def test_large_ids_exact_in_slow_path():
+    # ids/births beyond 2**24 are not representable in f32; the sequential
+    # fallback must carry them integrally.  Two detections gating one track
+    # defeats the independence test, forcing the scan path.
+    big = 2**24  # 16777216: big+1 == big in f32
+    bank = _bank_with_tracks([(0.0, 0.0)])
+    bank = bank._replace(
+        obj_id=bank.obj_id.at[0].set(big + 1),
+        birth_seq=bank.birth_seq.at[0].set(big + 1),
+    )
+    dets, dv = _dets(
+        [(0.1, 0.0, 0.0, DT), (-0.1, 0.0, 0.0, DT), (50.0, 50.0, 0.0, DT)]
+    )
+    r = associate_and_update(
+        bank, jnp.int32(big + 3), jnp.int32(big + 3), dets, dv, 0.5, DT
+    )
+    assert int(r.det_id[0]) == big + 1 and int(r.det_id[1]) == big + 1
+    assert bool(r.det_new[2]) and int(r.det_id[2]) == big + 3
+    assert int(r.next_obj_num) == big + 4
+    assert int(r.bank.obj_id[1]) == big + 3
+    assert int(r.bank.birth_seq[1]) == big + 3
+
+
 def test_allow_match_false_registers_everything():
     bank = _bank_with_tracks([(0.0, 0.0)])
     dets, dv = _dets([(0.01, 0.0, 0.0, DT)])
