@@ -257,7 +257,8 @@ def associate_and_update(
         ai0,
         next_obj_num.astype(jnp.int32),
         next_birth.astype(jnp.int32),
-        jnp.int32(0),
+        next_obj_num.astype(jnp.int32) * 0,  # ovf seed: varying-typed so the
+        # scan carry type matches its (data-derived) output under shard_map
     )
     def slow_fn(_):
         (_, ai_fin, nobj_f, nbirth_f, ovf_f), outs = jax.lax.scan(
