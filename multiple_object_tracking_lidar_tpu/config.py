@@ -50,6 +50,34 @@ class SceneBounds:
         gz = max(1, int(math.ceil((self.z_max - self.z_min) / leaf_z)))
         return gx, gy, gz
 
+    @staticmethod
+    def from_map(
+        width: int,
+        height: int,
+        resolution: float,
+        origin_x: float,
+        origin_y: float,
+        z_min: float = 0.0,
+        z_max: float = 2.0,
+        margin: float = 0.25,
+    ) -> "SceneBounds":
+        """Derive the working volume from an occupancy grid's extent.
+
+        Points outside the map are dropped by removeStatic anyway (out-of-map
+        is unknown; ref cpp:686 reads unchecked — we define it as drop), so
+        bounding the voxel grid by the map + a small margin loses nothing and
+        keeps the dense cell grid minimal (grid-mode cost scales with cell
+        count).  z defaults to a ground-robot band; widen for airborne use.
+        """
+        return SceneBounds(
+            x_min=origin_x - margin,
+            x_max=origin_x + width * resolution + margin,
+            y_min=origin_y - margin,
+            y_max=origin_y + height * resolution + margin,
+            z_min=z_min,
+            z_max=z_max,
+        )
+
 
 @dataclasses.dataclass(frozen=True)
 class Capacities:
@@ -63,6 +91,10 @@ class Capacities:
     k_max_tracks: int = 64          # live tracks in the bank
     label_prop_iters: int = 32      # outer label-propagation sweeps (cap)
     pointer_jumps: int = 2          # pointer-jumping rounds per sweep
+    grid_sweeps_per_iter: int = 6   # unrolled stencil sweeps per while-loop
+                                    # iteration (cluster_backend="grid"):
+                                    # sequential iterations cost ~10 us each
+                                    # on TPU, so sweeps are batched per trip
     max_dup_passes: int = 3         # exact replication of the reference's
                                     # repeated GP runs when <= N detections
                                     # match one track in a frame (cpp quirk);
@@ -105,11 +137,19 @@ class TrackerConfig:
                                          # "hungarian" (improved: optimal gated auction assignment)
     assoc_cond_branch: bool = True       # lax.cond fast/slow association (set False
                                          # under shard_map — see ops/assign.py)
-    cluster_backend: str = "jnp"         # "jnp" | "pallas" (fused VMEM kernel)
+    cluster_backend: str = "jnp"         # "jnp" (all-pairs, capped point list) |
+                                         # "pallas" (fused VMEM kernel) |
+                                         # "grid" (dense-grid stencil CC — no
+                                         # m_max_dynamic cap, density-independent
+                                         # cost; requires a dense accumulator,
+                                         # i.e. voxel_mode "dense" or "onehot")
     voxel_mode: str = "dense"            # "dense" (scatter grid) | "runs" (Pallas
                                          # sorted-runs kernel, deterministic) | "scan"
                                          # (scatter-free sort+segsum; see
                                          # docs/PERFORMANCE.md on the scatter lottery)
+                                         # | "onehot" (dense grid via factored
+                                         # one-hot MXU matmuls — deterministic,
+                                         # sort- and scatter-free)
     dtype: str = "float32"               # device compute dtype
     caps: Capacities = dataclasses.field(default_factory=Capacities)
     scene: SceneBounds = dataclasses.field(default_factory=SceneBounds)
@@ -130,6 +170,15 @@ class TrackerConfig:
             raise ValueError(f"position_filter must be 'lpf' or 'ihgp', got {self.position_filter!r}")
         if self.association not in ("greedy", "hungarian"):
             raise ValueError(f"association must be 'greedy' or 'hungarian', got {self.association!r}")
+        if self.cluster_backend not in ("jnp", "pallas", "grid"):
+            raise ValueError(f"unknown cluster_backend {self.cluster_backend!r}")
+        if self.voxel_mode not in ("dense", "runs", "scan", "onehot"):
+            raise ValueError(f"unknown voxel_mode {self.voxel_mode!r}")
+        if self.cluster_backend == "grid" and self.voxel_mode not in ("dense", "onehot"):
+            raise ValueError(
+                "cluster_backend='grid' consumes the dense accumulator; "
+                "use voxel_mode 'dense' or 'onehot'"
+            )
 
     def replace(self, **kw: Any) -> "TrackerConfig":
         return dataclasses.replace(self, **kw)

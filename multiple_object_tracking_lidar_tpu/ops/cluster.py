@@ -142,6 +142,26 @@ def euclidean_cluster(
     else:
         labels, n_iters = connected_components(pts, mask, tol, max_iters, pointer_jumps)
 
+    return cluster_postprocess(
+        labels, n_iters, pts, mask, min_size, max_size, c_max, p_max
+    )
+
+
+def cluster_postprocess(
+    labels: jnp.ndarray,
+    n_iters: jnp.ndarray,
+    pts: jnp.ndarray,
+    mask: jnp.ndarray,
+    min_size: int,
+    max_size: int,
+    c_max: int,
+    p_max: int,
+) -> Clusters:
+    """Size filter -> deterministic ordering -> member table -> contiguous
+    per-cluster point layout.  Shared by the all-pairs (point list) and the
+    dense-grid (stencil) connected-components front-ends; ``labels[i]`` is the
+    min point/cell index of i's component (len(labels) for invalid)."""
+    m = pts.shape[0]
     # component sizes at the root slot
     counts = jnp.zeros(m + 1, dtype=jnp.int32).at[labels].add(
         mask.astype(jnp.int32), mode="drop"

@@ -187,9 +187,68 @@ def perceive_from_acc(
     """Perception tail after voxel accumulation: finalize -> static mask ->
     compact -> cluster -> circumcenter.  Stateless, so it batches (vmap) over
     frames — the heavy compute runs batched while only the tiny tracking
-    back-end is sequential."""
+    back-end is sequential.  With ``cluster_backend="grid"`` the tail stays
+    on the dense cell grid (no compaction, no m_max_dynamic cap)."""
+    if config.cluster_backend == "grid":
+        return _perceive_from_dense_acc(acc, t, n_points, env, config=config)
     vox, vox_mask, n_vox = voxel_finalize(acc, config.caps.m_max_voxels)
     return _perceive_from_vox(vox, vox_mask, n_vox, t, n_points, env, config=config)
+
+
+def _perceive_from_dense_acc(
+    acc: jax.Array,
+    t: jax.Array,
+    n_points: jax.Array,
+    env: MapEnv,
+    *,
+    config: TrackerConfig,
+) -> Perception:
+    """Dense-grid perception tail: every stage operates on the (n_cells,)
+    layout — the cell index is the point index (ascending lin == PCL order),
+    so there is no compaction stage and no dynamic-point capacity at all."""
+    from multiple_object_tracking_lidar_tpu.ops.cluster_grid import euclidean_cluster_grid
+    from multiple_object_tracking_lidar_tpu.ops.voxel import grid_shape
+    from multiple_object_tracking_lidar_tpu.ops.voxel_grid import finalize_dense
+
+    caps = config.caps
+    dtype = jnp.dtype(config.dtype)
+
+    cent, occ, n_vox = finalize_dense(acc)
+    dyn = remove_static(cent, occ, env)
+
+    clusters = euclidean_cluster_grid(
+        cent.astype(dtype),
+        dyn,
+        grid_shape(config.scene, config.voxel_leaf_size, config.leaf_z),
+        config.cluster_tolerance,
+        config.voxel_leaf_size,
+        config.leaf_z,
+        config.min_cluster_size,
+        config.max_cluster_size,
+        caps.c_max_clusters,
+        caps.p_max_cluster,
+        caps.label_prop_iters,
+        caps.grid_sweeps_per_iter,
+    )
+
+    dets = circumcenter_features_sorted(
+        clusters.sorted_pts,
+        clusters.starts,
+        clusters.sizes,
+        clusters.cluster_valid,
+        t,
+        caps.p_max_cluster,
+    ).astype(dtype)
+
+    return Perception(
+        dets=dets,
+        det_valid=clusters.cluster_valid,
+        t=t,
+        n_points=n_points,
+        n_vox=n_vox,
+        n_dynamic=dyn.sum(),
+        n_clusters=clusters.n_clusters,
+    )
 
 
 def _perceive_from_vox(
@@ -247,6 +306,22 @@ def _perceive_from_vox(
 
 def perceive(frame: Frame, env: MapEnv, *, config: TrackerConfig) -> Perception:
     """Full stateless perception front-end for one frame."""
+    if config.voxel_mode == "onehot" or config.cluster_backend == "grid":
+        from multiple_object_tracking_lidar_tpu.ops.voxel_grid import (
+            voxel_accumulate_onehot,
+        )
+
+        accumulate = (
+            voxel_accumulate_onehot if config.voxel_mode == "onehot" else voxel_accumulate
+        )
+        acc = accumulate(
+            frame.points.astype(jnp.dtype(config.dtype)),
+            frame.mask,
+            config.scene,
+            config.voxel_leaf_size,
+            config.leaf_z,
+        )
+        return perceive_from_acc(acc, frame.t, frame.mask.sum(), env, config=config)
     if config.voxel_mode in ("scan", "runs"):
         if config.voxel_mode == "runs":
             # Pallas sorted-runs kernel: deterministic lowering, sidesteps
