@@ -91,7 +91,8 @@ class Capacities:
     k_max_tracks: int = 64          # live tracks in the bank
     label_prop_iters: int = 32      # outer label-propagation sweeps (cap)
     pointer_jumps: int = 2          # pointer-jumping rounds per sweep
-    grid_sweeps_per_iter: int = 6   # unrolled stencil sweeps per while-loop
+    grid_sweeps_per_iter: int = 2   # unrolled stencil sweeps per while-loop
+    grid_jumps_per_iter: int = 2    # pointer-jump (matmul-gather) rounds/iter
                                     # iteration (cluster_backend="grid"):
                                     # sequential iterations cost ~10 us each
                                     # on TPU, so sweeps are batched per trip

@@ -118,6 +118,21 @@ def circumcenter_features(
     return jnp.concatenate([xy, zeros, tcol], axis=1)
 
 
+def circumcenter_features_table(
+    mpts: jnp.ndarray,         # (C, P, 3) member points (dense table)
+    member_mask: jnp.ndarray,  # (C, P)
+    t: jnp.ndarray,
+) -> jnp.ndarray:
+    """Same feature, but members arrive as the dense (C, P, 3) table the
+    matmul postprocess (ops.cluster_grid.cluster_table_grid) emits — no
+    member gather or slice at all."""
+    c = mpts.shape[0]
+    xy = jax.vmap(_one_cluster)(mpts, member_mask)
+    zeros = jnp.zeros((c, 1), dtype=mpts.dtype)
+    tcol = jnp.full((c, 1), t, dtype=mpts.dtype)
+    return jnp.concatenate([xy, zeros, tcol], axis=1)
+
+
 def circumcenter_features_sorted(
     sorted_pts: jnp.ndarray,   # (M + P, 3) cluster-contiguous points
     starts: jnp.ndarray,       # (C,)

@@ -27,6 +27,7 @@ PCL's ascending-voxel output order, so min-cell-index == min-point-index.
 from __future__ import annotations
 
 import math
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -57,7 +58,7 @@ def _stencil_offsets(tol: float, leaf_xy: float, leaf_z: float) -> list[tuple[in
 
 
 def connected_components_grid(
-    cent: jnp.ndarray,        # (n_cells, 3) per-cell centroids (dense layout)
+    cent: jnp.ndarray,        # (3, n_cells) CHANNEL-MAJOR per-cell centroids
     dyn: jnp.ndarray,         # (n_cells,) cell holds a dynamic point
     dims: tuple[int, int, int],   # (gx, gy, gz)
     tol: float,
@@ -65,8 +66,18 @@ def connected_components_grid(
     leaf_z: float,
     max_iters: int = 32,
     sweeps_per_iter: int = 6,
+    jumps_per_iter: int = 2,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Min-label connected components of the radius graph on the dense grid.
+
+    Each iteration runs ``sweeps_per_iter`` stencil sweeps (each propagates
+    labels one stencil radius) followed by ``jumps_per_iter`` pointer-jump
+    rounds ``label = label[label]`` — the jump is a GATHER at the label, which
+    on TPU is expressed as the factored one-hot matmul-gather (labels factor
+    as ``lin = x + gx*yz``), i.e. one (cells, gx) x (gx, gyz) HIGHEST-precision
+    product + a masked row reduce instead of 11k serialized scalar gathers.
+    Jumping halves the remaining component depth per round, so convergence is
+    O(log diameter) iterations instead of O(diameter / stencil radius).
 
     Returns (labels, n_sweeps): labels[i] = min flat cell index of i's
     component (n_cells for non-dynamic cells).
@@ -81,7 +92,7 @@ def connected_components_grid(
     tol2 = jnp.asarray(tol * tol, cent.dtype)
 
     # dense (gz, gy, gx) views; flat index = ix + gx*(iy + gy*iz)
-    c3 = [cent[:, k].reshape(gz, gy, gx) for k in range(3)]
+    c3 = [cent[k].reshape(gz, gy, gx) for k in range(3)]
     d3 = dyn.reshape(gz, gy, gx)
 
     def pad3(a, fill):
@@ -117,11 +128,36 @@ def connected_components_grid(
         nmin = jnp.min(jnp.where(adj_stack, stack, sentinel), axis=0)
         return jnp.minimum(labels, nmin)
 
+    gyz = gy * gz
+    iota_x = jnp.arange(gx, dtype=jnp.int32)
+
+    def jump(labels):
+        # label = label[label] via the factored one-hot matmul-gather
+        lab = labels.reshape(n)
+        valid = lab < n
+        lx = jnp.where(valid, lab % gx, -1)
+        lyz = jnp.where(valid, lab // gx, -1)
+        lg = lab.reshape(gyz, gx).astype(jnp.float32)          # values < 2^24
+        X = (lx[:, None] == iota_x[None, :]).astype(jnp.float32)
+        t = jax.lax.dot_general(
+            X, lg, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )                                                      # (cells, gyz)
+        picked = jnp.sum(
+            jnp.where(lyz[:, None] == jnp.arange(gyz, dtype=jnp.int32)[None, :], t, 0.0),
+            axis=1,
+        ).astype(jnp.int32)
+        new = jnp.where(valid, picked, jnp.int32(n))
+        return new.reshape(gz, gy, gx)
+
     def body(carry):
         labels, _, it = carry
         new = labels
         for _ in range(sweeps_per_iter):
             new = sweep(new)
+        for _ in range(jumps_per_iter):
+            new = jump(new)
         return new, jnp.any(new != labels), it + 1
 
     def cond(carry):
@@ -133,8 +169,168 @@ def connected_components_grid(
     return labels.reshape(n), n_it * sweeps_per_iter
 
 
+class ClusterTable(NamedTuple):
+    """Dense per-slot cluster output of the matmul postprocess."""
+
+    mpts: jax.Array          # (C, P, 3) member points (cell centroids)
+    member_mask: jax.Array   # (C, P)
+    sizes: jax.Array         # (C,)
+    cluster_valid: jax.Array # (C,)
+    roots: jax.Array         # (C,) root cell index per slot
+    n_clusters: jax.Array    # scalar — total size-valid components found
+    n_iters: jax.Array       # scalar — stencil sweeps used
+
+
+def cluster_table_grid(
+    labels: jnp.ndarray,     # (n_cells,) min-cell-index labels (n_cells = invalid)
+    n_iters: jnp.ndarray,
+    cent: jnp.ndarray,       # (3, n_cells) CHANNEL-MAJOR
+    dyn: jnp.ndarray,        # (n_cells,)
+    gx: int,
+    min_size: int,
+    max_size: int,
+    c_max: int,
+    p_max: int,
+) -> ClusterTable:
+    """Size filter -> ordering -> (C, P, 3) member table, built ENTIRELY from
+    one-hot matmuls and cumsums — no sort, no scatter, no gather.
+
+    The sorted-path postprocess (`ops.cluster.cluster_postprocess`) pays one
+    scatter-add (counts) and two full argsorts over the point set — ~0.5 ms at
+    11k cells, and the sorts are this stack's residual compile-variance source
+    (docs/PERFORMANCE.md).  Here every step is a deterministic MXU product:
+
+      * component sizes: labels factor as ``lin = x + gx * yz``, so the
+        histogram is a factored one-hot contraction ``(Y*dyn)^T @ X`` exactly
+        like the voxel accumulator (0/1 bf16 operands, f32 accumulation);
+      * per-cell size lookup: ``counts[lab] = rowsum(Y * (X @ counts^T))`` —
+        a matmul-shaped gather;
+      * cluster ordering (size desc, root index asc — PCL's order with the
+        deterministic tie-break): rank(root) = #roots with larger size +
+        #earlier roots of equal size, via a (cells, max_size+1) size one-hot,
+        a suffix sum over the size histogram, and one exclusive cumsum;
+      * the (C, P, 3) member table: output slot (c, p) is a DOUBLE one-hot
+        contraction ``table[c,p] = sum_i cent_i * M[i,c] * Q[i,p]`` where
+        M ranks the cell's cluster and Q its intra-cluster position
+        (exclusive cumsum of M) — members land in ascending cell index order,
+        the same order the sorted path produces.
+
+    Semantics are identical to cluster_postprocess; outputs come as the dense
+    (C, P, 3) table instead of the cluster-contiguous point array.
+    """
+    n = labels.shape[0]
+    f32 = jnp.float32
+    idx = jnp.arange(n, dtype=jnp.int32)
+    valid = dyn & (labels < n)
+    lab_x = jnp.where(valid, labels % gx, -1)
+    lab_yz = jnp.where(valid, labels // gx, -1)
+    gyz = n // gx
+
+    # component sizes on the (gyz, gx) grid: factored one-hot histogram
+    X = (lab_x[:, None] == jnp.arange(gx, dtype=jnp.int32)[None, :]).astype(jnp.bfloat16)
+    Y = (lab_yz[:, None] == jnp.arange(gyz, dtype=jnp.int32)[None, :]).astype(jnp.bfloat16)
+    counts = jax.lax.dot_general(
+        Y, X, (((0,), (0,)), ((), ())), preferred_element_type=f32
+    )                                                          # (gyz, gx)
+
+    # per-cell component size: matmul-shaped gather of counts at the label.
+    # HIGHEST precision: counts are integers up to n_cells — bf16 operand
+    # truncation (DEFAULT) is only exact to 256
+    t = jax.lax.dot_general(
+        X.astype(f32), counts, (((1,), (1,)), ((), ())),
+        preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST,
+    )                                                          # (cells, gyz)
+    size_of = jnp.sum(t * Y.astype(f32), axis=1).astype(jnp.int32)
+
+    keep = valid & (size_of >= min_size) & (size_of <= max_size)
+    is_root = keep & (labels == idx)
+    n_clusters = is_root.sum().astype(jnp.int32)
+
+    # rank roots by (size desc, index asc) — counting, not sorting
+    s_bins = max_size + 1
+    sc = jnp.where(is_root, size_of, 0)
+    Z = (
+        (sc[:, None] == jnp.arange(s_bins, dtype=jnp.int32)[None, :])
+        & is_root[:, None]
+    )
+    Zf = Z.astype(f32)
+    hist = Zf.sum(axis=0)                                      # (s_bins,)
+    greater = jnp.cumsum(hist[::-1])[::-1] - hist              # # roots larger
+    # select-style (not matmul) so integer values stay f32-exact
+    n_greater = jnp.sum(jnp.where(Z, greater[None, :], 0.0), axis=1)
+    earlier_same = jnp.sum((jnp.cumsum(Zf, axis=0) - Zf) * Zf, axis=1)
+    rank = jnp.where(is_root, (n_greater + earlier_same).astype(jnp.int32), c_max)
+
+    # per-slot root data: one-hot over the c_max output slots
+    slot = is_root & (rank < c_max)
+    R = (rank[:, None] == jnp.arange(c_max, dtype=jnp.int32)[None, :]) & slot[:, None]
+    cluster_valid = R.any(axis=0)
+    sizes = jnp.sum(jnp.where(R, size_of[:, None], 0), axis=0).astype(jnp.int32)
+    roots = jnp.sum(jnp.where(R, idx[:, None], 0), axis=0).astype(jnp.int32)
+
+    # broadcast each root's rank to its members: rank grid built by the same
+    # factored contraction (roots' own cell == their label), then the
+    # matmul-shaped gather at every cell's label
+    Yr = Y * jnp.where(slot, rank + 1, 0).astype(jnp.bfloat16)[:, None]
+    rank_grid = jax.lax.dot_general(
+        Yr, X, (((0,), (0,)), ((), ())), preferred_element_type=f32
+    )                                                          # (gyz, gx)
+    tr = jax.lax.dot_general(
+        X, rank_grid, (((1,), (1,)), ((), ())), preferred_element_type=f32
+    )
+    point_rank = jnp.sum(tr * Y.astype(f32), axis=1).astype(jnp.int32) - 1
+    member = keep & (point_rank >= 0)
+    point_rank = jnp.where(member, point_rank, c_max)
+
+    # intra-cluster position: exclusive cumsum of the slot one-hot — members
+    # appear in ascending cell index, matching the sorted path
+    M = (
+        (point_rank[:, None] == jnp.arange(c_max, dtype=jnp.int32)[None, :])
+        & member[:, None]
+    ).astype(f32)
+    pos = jnp.sum((jnp.cumsum(M, axis=0) - M) * M, axis=1).astype(jnp.int32)
+    Q = (
+        (jnp.where(member, pos, -1)[:, None] == jnp.arange(p_max, dtype=jnp.int32)[None, :])
+    ).astype(jnp.bfloat16)
+
+    # (C, P) membership and (C, P, 3) member points: double one-hot
+    # contractions; centroid channels stay f32-exact via HIGHEST precision
+    Mb = M.astype(jnp.bfloat16)
+    member_mask = (
+        jax.lax.dot_general(
+            Mb, Q, (((0,), (0,)), ((), ())), preferred_element_type=f32
+        )
+        > 0
+    )
+    # value-carrying contractions run in the centroid dtype at HIGHEST
+    # precision: with one-hot selectors each output has exactly one nonzero
+    # term, so member points come out bit-identical to cent
+    vdt = cent.dtype
+    chans = []
+    for ch in range(3):
+        Mc = M.astype(vdt) * cent[ch][:, None]
+        chans.append(
+            jax.lax.dot_general(
+                Mc, Q.astype(vdt), (((0,), (0,)), ((), ())),
+                preferred_element_type=vdt,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        )
+    mpts = jnp.stack(chans, axis=-1)                           # (C, P, 3)
+
+    return ClusterTable(
+        mpts=mpts,
+        member_mask=member_mask & cluster_valid[:, None],
+        sizes=sizes,
+        cluster_valid=cluster_valid,
+        roots=roots,
+        n_clusters=n_clusters,
+        n_iters=n_iters,
+    )
+
+
 def euclidean_cluster_grid(
-    cent: jnp.ndarray,
+    cent: jnp.ndarray,       # (3, n_cells) CHANNEL-MAJOR
     dyn: jnp.ndarray,
     dims: tuple[int, int, int],
     tol: float,
@@ -146,14 +342,16 @@ def euclidean_cluster_grid(
     p_max: int,
     max_iters: int = 32,
     sweeps_per_iter: int = 6,
+    jumps_per_iter: int = 2,
 ) -> Clusters:
     """Full PCL-semantics clustering on the dense grid (labels via stencil
     propagation, then the shared size-filter/ordering/member postprocess).
     Zero capacity truncation at the clustering stage: every dynamic cell
     participates, however dense the scene."""
     labels, n_iters = connected_components_grid(
-        cent, dyn, dims, tol, leaf_xy, leaf_z, max_iters, sweeps_per_iter
+        cent, dyn, dims, tol, leaf_xy, leaf_z, max_iters, sweeps_per_iter,
+        jumps_per_iter,
     )
     return cluster_postprocess(
-        labels, n_iters, cent, dyn, min_size, max_size, c_max, p_max
+        labels, n_iters, cent.T, dyn, min_size, max_size, c_max, p_max
     )

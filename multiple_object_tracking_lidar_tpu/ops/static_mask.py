@@ -71,6 +71,135 @@ def build_static_mask(
     )
 
 
+class CellStaticTable(NamedTuple):
+    """Per-scene-grid-cell drop-bit window (dense-grid path only).
+
+    A scene cell's centroid can only land in a tiny window of map pixels
+    (the cell's map-space bounding box, +-1 pixel of f32 fuzz margin), so the
+    per-frame lookup collapses from a (cells x map) one-hot bilinear form to
+    a fully ELEMENTWISE bit extraction: ~10 VPU ops total, no gather, no
+    matmul.  Built once per (map, scene) pair on the host."""
+
+    base_row: jax.Array   # (n_cells,) i32 — window origin per cell
+    base_col: jax.Array   # (n_cells,) i32
+    bits: jax.Array       # (n_cells,) i32 — bit (qr*k+qc) set = DROP
+    k: int                # window edge length (k*k <= 32)
+
+
+def build_cell_static_table(
+    env: MapEnv,
+    scene,
+    leaf_xy: float,
+    gx: int,
+    gy: int,
+    gz: int,
+) -> CellStaticTable | None:
+    """Host precompute of the per-cell drop-bit windows.  Returns None when
+    the fast path does not apply (window exceeds 32 bits, or env is a tracer
+    rather than concrete map data) — callers fall back to remove_static."""
+    try:
+        dil = np.asarray(env.dilated)
+        cos = float(np.asarray(env.cos_nyaw))
+        sin = float(np.asarray(env.sin_nyaw))
+        ox = float(np.asarray(env.origin_x))
+        oy = float(np.asarray(env.origin_y))
+        inv_res = float(np.asarray(env.inv_resolution))
+    except Exception:
+        return None
+    h, w = dil.shape
+    # window edge: map-space span of one cell (+1 pixel straddle, +2 f32 fuzz)
+    span = leaf_xy * (abs(cos) + abs(sin)) * inv_res
+    k = int(np.ceil(span)) + 3
+    if k * k > 32:
+        return None
+
+    bx = math.floor(scene.x_min / leaf_xy)
+    by = math.floor(scene.y_min / leaf_xy)
+    x0 = (bx + np.arange(gx, dtype=np.float64)) * leaf_xy      # cell min-x
+    y0 = (by + np.arange(gy, dtype=np.float64)) * leaf_xy
+    cx = np.broadcast_to(x0[None, :], (gy, gx))
+    cy = np.broadcast_to(y0[:, None], (gy, gx))
+    # map-space bbox over the 4 cell corners (centroid ranges over the cell)
+    cols, rows = [], []
+    for dx2 in (0.0, leaf_xy):
+        for dy2 in (0.0, leaf_xy):
+            xm = cx + dx2 - ox
+            ym = cy + dy2 - oy
+            cols.append((cos * xm - sin * ym) * inv_res)
+            rows.append((sin * xm + cos * ym) * inv_res)
+    col_min = np.trunc(np.minimum.reduce(cols)).astype(np.int64)
+    row_min = np.trunc(np.minimum.reduce(rows)).astype(np.int64)
+    base_col = (col_min - 1).astype(np.int32)                  # f32 fuzz margin
+    base_row = (row_min - 1).astype(np.int32)
+
+    bits = np.zeros((gy, gx), np.int32)
+    for qr in range(k):
+        for qc in range(k):
+            rr = base_row.astype(np.int64) + qr
+            cc = base_col.astype(np.int64) + qc
+            oob = (rr < 0) | (rr >= h) | (cc < 0) | (cc >= w)
+            val = dil[np.clip(rr, 0, h - 1), np.clip(cc, 0, w - 1)] | oob
+            bits |= val.astype(np.int32) << (qr * k + qc)
+
+    tile = (gz, 1, 1)
+    return CellStaticTable(
+        base_row=jnp.asarray(np.tile(base_row[None], tile).reshape(-1)),
+        base_col=jnp.asarray(np.tile(base_col[None], tile).reshape(-1)),
+        bits=jnp.asarray(np.tile(bits[None], tile).reshape(-1)),
+        k=k,
+    )
+
+
+_CELL_TABLE_CACHE: dict = {}
+
+
+def get_cell_static_table(
+    env: MapEnv, scene, leaf_xy: float, gx: int, gy: int, gz: int
+) -> CellStaticTable | None:
+    """Cached build_cell_static_table keyed by map CONTENT + scene geometry
+    (id-based keys could alias a freed map's storage)."""
+    try:
+        import hashlib
+
+        raw = np.asarray(env.dilated).tobytes()
+        key = (
+            hashlib.sha1(raw).hexdigest(),
+            float(np.asarray(env.origin_x)),
+            float(np.asarray(env.origin_y)),
+            float(np.asarray(env.cos_nyaw)),
+            float(np.asarray(env.inv_resolution)),
+            (scene.x_min, scene.y_min, leaf_xy, gx, gy, gz),
+        )
+    except Exception:
+        return None
+    if key not in _CELL_TABLE_CACHE:
+        _CELL_TABLE_CACHE[key] = build_cell_static_table(
+            env, scene, leaf_xy, gx, gy, gz
+        )
+    return _CELL_TABLE_CACHE[key]
+
+
+def remove_static_cells(
+    cent: jnp.ndarray, occ: jnp.ndarray, env: MapEnv, table: CellStaticTable
+) -> jnp.ndarray:
+    """Dense-grid static filter: identical per-frame f32 row/col math as
+    remove_static (reference cpp:674-678 C-float arithmetic + truncation),
+    but the map lookup is the precomputed per-cell drop bit — elementwise.
+    ``cent`` is CHANNEL-MAJOR (3, n_cells): row slices are free, while
+    (n, 3) column slices cost a ~0.25 ms relayout each on this TPU."""
+    x_map = cent[0].astype(jnp.float32) - env.origin_x
+    y_map = cent[1].astype(jnp.float32) - env.origin_y
+    col = ((env.cos_nyaw * x_map - env.sin_nyaw * y_map) * env.inv_resolution).astype(jnp.int32)
+    row = ((env.sin_nyaw * x_map + env.cos_nyaw * y_map) * env.inv_resolution).astype(jnp.int32)
+    k = table.k
+    qr = row - table.base_row
+    qc = col - table.base_col
+    in_win = (qr >= 0) & (qr < k) & (qc >= 0) & (qc < k)
+    bit = (table.bits >> jnp.clip(qr * k + qc, 0, k * k - 1)) & 1
+    drop = jnp.where(in_win, bit, 1)  # out-of-window cannot happen; drop safe
+    return occ & (drop == 0)
+
+
 def remove_static(
     points: jnp.ndarray, mask: jnp.ndarray, env: MapEnv
 ) -> jnp.ndarray:

@@ -60,9 +60,30 @@ def voxel_accumulate_onehot(
     leaf_xy: float,
     leaf_z: float,
     use_pallas: bool | None = None,
+    block: int | None = None,
 ) -> jnp.ndarray:
-    """Dense (n_cells, 4) [sum_x, sum_y, sum_z, count] accumulator, built with
-    one-hot matmuls (no scatter, no sort).  Drop-in for voxel_accumulate.
+    """Dense (n_cells, 4) [sum_x, sum_y, sum_z, count] accumulator — the
+    scatter-accumulator-compatible layout.  The pipeline's dense-grid path
+    uses voxel_accumulate_onehot_cm instead (channel-major: slicing a channel
+    out of an (N, 4) array costs a ~0.25 ms minor-dim relayout per slice on
+    this TPU, while (4, N) rows are free)."""
+    cm = voxel_accumulate_onehot_cm(
+        points, mask, scene, leaf_xy, leaf_z, use_pallas, block
+    )
+    return cm.T
+
+
+def voxel_accumulate_onehot_cm(
+    points: jnp.ndarray,
+    mask: jnp.ndarray,
+    scene: SceneBounds,
+    leaf_xy: float,
+    leaf_z: float,
+    use_pallas: bool | None = None,
+    block: int | None = None,
+) -> jnp.ndarray:
+    """Dense CHANNEL-MAJOR (4, n_cells) [sum_x, sum_y, sum_z, count]
+    accumulator, built with one-hot matmuls (no scatter, no sort).
 
     ``use_pallas=None`` auto-selects: the fused VMEM kernel on TPU (one-hots
     built in VMEM per block — the XLA lowering materializes an (N, 10*gx)
@@ -88,18 +109,18 @@ def voxel_accumulate_onehot(
     ix = jnp.where(in_bounds, ix, -1)
     iyz = jnp.where(in_bounds, iy + gy * iz, -1)
 
+    if block is None:
+        block = _pick_block(points.shape[0])
     if use_pallas is None:
         use_pallas = (
             points.dtype != jnp.float64
             and jax.default_backend() == "tpu"
-            and _pick_block(points.shape[0]) is not None
+            and block is not None
         )
-    if use_pallas:
-        block = _pick_block(points.shape[0])
-        if block is not None:
-            return _accumulate_pallas(
-                points, ix, iyz, in_bounds, gx, gyz, block
-            ).astype(points.dtype)
+    if use_pallas and block is not None:
+        return _accumulate_pallas(
+            points, ix, iyz, in_bounds, gx, gyz, block
+        ).astype(points.dtype)
 
     if points.dtype == jnp.float64:
         # f64 mode (CPU parity tests): plain f64 one-hot contraction, exact
@@ -112,7 +133,7 @@ def voxel_accumulate_onehot(
         A = jax.lax.dot_general(
             Y, XC, (((0,), (0,)), ((), ())), preferred_element_type=points.dtype
         ).reshape(gyz, 4, gx)
-        return jnp.moveaxis(A, 1, 2).reshape(gyz * gx, 4)
+        return jnp.moveaxis(A, 1, 0).reshape(4, gyz * gx)
 
     X = (ix[:, None] == jnp.arange(gx, dtype=jnp.int32)[None, :]).astype(jnp.bfloat16)
     Y = (iyz[:, None] == jnp.arange(gyz, dtype=jnp.int32)[None, :]).astype(jnp.bfloat16)
@@ -134,13 +155,18 @@ def voxel_accumulate_onehot(
     sy = A[:, 3] + A[:, 4] + A[:, 5]
     sz = A[:, 6] + A[:, 7] + A[:, 8]
     cnt = A[:, 9]
-    acc = jnp.stack([sx, sy, sz, cnt], axis=-1)          # (gyz, gx, 4)
-    return acc.reshape(gyz * gx, 4).astype(points.dtype)
+    acc = jnp.stack([sx, sy, sz, cnt], axis=0)           # (4, gyz, gx)
+    return acc.reshape(4, gyz * gx).astype(points.dtype)
 
 
 def _pick_block(n: int) -> int | None:
-    """Largest point-block size in [512, 4096] that tiles N exactly."""
-    for b in (4096, 2048, 1024, 512):
+    """Point-block size that tiles N exactly, smallest first: measured on
+    v5e, block=512 keeps the whole one-hot working set inside Mosaic's
+    scoped-VMEM budget and runs ~0.02 ms at bench shapes, while >=1024
+    spills (1.2-1.4 ms) and 4096 can exceed the 16 MB scoped-VMEM limit
+    outright inside larger programs (compile error).  More grid steps are
+    free by comparison."""
+    for b in (512, 1024, 2048, 4096):
         if n % b == 0:
             return b
     return None
@@ -216,16 +242,29 @@ def _accumulate_pallas(
     sx = out[0] + out[1] + out[2]
     sy = out[3] + out[4] + out[5]
     sz = out[6] + out[7] + out[8]
-    acc = jnp.stack([sx, sy, sz, out[9]], axis=-1)   # (gyz, gx, 4)
-    return acc.reshape(gyz * gx, 4)
+    acc = jnp.stack([sx, sy, sz, out[9]], axis=0)    # (4, gyz, gx)
+    return acc.reshape(4, gyz * gx)
 
 
 def finalize_dense(
     acc: jnp.ndarray,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Dense accumulator -> per-cell centroids, occupancy mask, count.
-    No compaction: grid-mode clustering consumes the dense layout directly
-    (cell index IS the point index, ascending lin = PCL's output order)."""
+    """(n_cells, 4) accumulator -> ((n_cells, 3) centroids, occupancy, count).
+    Compatibility layout; the pipeline uses finalize_dense_cm."""
     occ = acc[:, 3] > 0
     cent = acc[:, :3] / jnp.maximum(acc[:, 3:4], 1.0)
+    return cent, occ, occ.sum()
+
+
+def finalize_dense_cm(
+    acc_cm: jnp.ndarray,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """CHANNEL-MAJOR finalize: (4, n_cells) accumulator -> ((3, n_cells)
+    centroids, (n_cells,) occupancy, count).  No compaction: grid-mode
+    clustering consumes the dense layout directly (cell index IS the point
+    index, ascending lin = PCL's output order).  Row slices of the channel-
+    major layout are free, unlike (n, 3) column slices (minor-dim relayout,
+    ~0.25 ms each on this TPU)."""
+    occ = acc_cm[3] > 0
+    cent = acc_cm[:3] / jnp.maximum(acc_cm[3][None, :], 1.0)
     return cent, occ, occ.sum()

@@ -89,18 +89,45 @@ class Tracker:
         )
 
     def step(self, state: TrackerState, frame: Frame, env: MapEnv):
-        return self._step(state, frame, env)
+        return self._step(state, frame, env, self._env_table(env))
+
+    def _env_table(self, env: MapEnv):
+        """Per-cell static table for the dense-grid path (None otherwise);
+        requires a concrete env.  Cached by map content in static_mask."""
+        if self.config.cluster_backend != "grid":
+            return None
+        from multiple_object_tracking_lidar_tpu.ops.static_mask import (
+            get_cell_static_table,
+        )
+        from multiple_object_tracking_lidar_tpu.ops.voxel import grid_shape
+
+        dims = grid_shape(self.config.scene, self.config.voxel_leaf_size, self.config.leaf_z)
+        return get_cell_static_table(
+            env, self.config.scene, self.config.voxel_leaf_size, *dims
+        )
+
+    def _env_args(self, env: MapEnv):
+        """Device-resident (env, table) to pass as jit ARGUMENTS.  Baking
+        them into the program as closure constants costs ~0.3 ms/dispatch on
+        this stack (the runtime re-stages large literals per execution —
+        docs/PERFORMANCE.md), so bound steps take them as donated-free args."""
+        env_dev = jax.device_put(env)
+        table = self._env_table(env)
+        table_dev = jax.device_put(table) if table is not None else None
+        return env_dev, table_dev
 
     def bind_env(self, env: MapEnv, donate_state: bool = True):
-        """Specialize the step on a fixed map: the dilated mask is baked into
-        the compiled program as a constant (no per-step transfer/copy), and
-        the track state is donated.  Re-bind on map updates (rare).
-        Returns ``step(state, frame) -> (state, output)``."""
+        """Specialize the step on a fixed map: the map env and the per-cell
+        static table are staged on device ONCE and passed as arguments each
+        dispatch, and the track state is donated.  Re-bind on map updates
+        (rare).  Returns ``step(state, frame) -> (state, output)``."""
         cfg, gains = self.config, self.gains_xy
-        return jax.jit(
-            lambda state, frame: _step_impl(state, frame, env, config=cfg, gains_xy=gains),
+        env_dev, table_dev = self._env_args(env)
+        step = jax.jit(
+            partial(_step_impl, config=cfg, gains_xy=gains),
             donate_argnums=(0,) if donate_state else (),
         )
+        return lambda state, frame: step(state, frame, env_dev, table_dev)
 
     def bind_env_multi(self, env: MapEnv, donate_state: bool = True):
         """Like bind_env, but processes a BATCH OF CONSECUTIVE FRAMES of one
@@ -109,14 +136,18 @@ class Tracker:
         RPC overhead amortized across the batch.  Frames arrive stacked on a
         leading axis: ``multi_step(state, frames) -> (state, outputs)``."""
         cfg, gains = self.config, self.gains_xy
+        env_dev, table_dev = self._env_args(env)
 
-        def multi(state, frames):
+        def multi(state, frames, env_a, table_a):
             def body(s, fr):
-                return _step_impl(s, Frame(*fr), env, config=cfg, gains_xy=gains)
+                return _step_impl(
+                    s, Frame(*fr), env_a, table_a, config=cfg, gains_xy=gains
+                )
 
             return jax.lax.scan(body, state, tuple(frames))
 
-        return jax.jit(multi, donate_argnums=(0,) if donate_state else ())
+        multi_jit = jax.jit(multi, donate_argnums=(0,) if donate_state else ())
+        return lambda state, frames: multi_jit(state, frames, env_dev, table_dev)
 
     def bind_env_pipelined(self, env: MapEnv, donate_state: bool = True):
         """Highest-throughput shape: the stateless perception front-end (all
@@ -128,12 +159,19 @@ class Tracker:
         semantics use bind_env_multi.  Perception never reads tracker state.
         Returns ``run(state, frames_stacked) -> (state, outputs_stacked)``."""
         cfg, gains = self.config, self.gains_xy
+        env_dev, table_dev = self._env_args(env)
 
-        perceive_batch = jax.jit(
+        perceive_jit = jax.jit(
             jax.vmap(
-                lambda pts, m, t: perceive(Frame(pts, m, t), env, config=cfg)
+                lambda pts, m, t, env_a, table_a: perceive(
+                    Frame(pts, m, t), env_a, config=cfg, table=table_a
+                ),
+                in_axes=(0, 0, 0, None, None),
             )
         )
+
+        def perceive_batch(pts, m, t):
+            return perceive_jit(pts, m, t, env_dev, table_dev)
 
         def track_scan(state, pb):
             return jax.lax.scan(
@@ -155,11 +193,12 @@ def _step_impl(
     state: TrackerState,
     frame: Frame,
     env: MapEnv,
+    table=None,
     *,
     config: TrackerConfig,
     gains_xy: dict,
 ) -> tuple[TrackerState, FrameOutput]:
-    p = perceive(frame, env, config=config)
+    p = perceive(frame, env, config=config, table=table)
     return track_step(state, p, config=config, gains_xy=gains_xy)
 
 
@@ -183,6 +222,7 @@ def perceive_from_acc(
     env: MapEnv,
     *,
     config: TrackerConfig,
+    table=None,
 ) -> Perception:
     """Perception tail after voxel accumulation: finalize -> static mask ->
     compact -> cluster -> circumcenter.  Stateless, so it batches (vmap) over
@@ -190,7 +230,11 @@ def perceive_from_acc(
     back-end is sequential.  With ``cluster_backend="grid"`` the tail stays
     on the dense cell grid (no compaction, no m_max_dynamic cap)."""
     if config.cluster_backend == "grid":
-        return _perceive_from_dense_acc(acc, t, n_points, env, config=config)
+        # this entry takes the scatter-accumulator (n_cells, 4) layout (the
+        # point-sharded psum path); the dense tail runs channel-major
+        return _perceive_from_dense_acc(
+            acc.T, t, n_points, env, config=config, table=table
+        )
     vox, vox_mask, n_vox = voxel_finalize(acc, config.caps.m_max_voxels)
     return _perceive_from_vox(vox, vox_mask, n_vox, t, n_points, env, config=config)
 
@@ -202,52 +246,82 @@ def _perceive_from_dense_acc(
     env: MapEnv,
     *,
     config: TrackerConfig,
+    table=None,
 ) -> Perception:
     """Dense-grid perception tail: every stage operates on the (n_cells,)
     layout — the cell index is the point index (ascending lin == PCL order),
-    so there is no compaction stage and no dynamic-point capacity at all."""
-    from multiple_object_tracking_lidar_tpu.ops.cluster_grid import euclidean_cluster_grid
+    so there is no compaction stage and no dynamic-point capacity at all.
+    The postprocess is the sort/scatter/gather-free matmul formulation
+    (cluster_table_grid), feeding circumcenters from the dense table."""
+    from multiple_object_tracking_lidar_tpu.ops.centroid import circumcenter_features_table
+    from multiple_object_tracking_lidar_tpu.ops.cluster_grid import (
+        cluster_table_grid,
+        connected_components_grid,
+    )
     from multiple_object_tracking_lidar_tpu.ops.voxel import grid_shape
-    from multiple_object_tracking_lidar_tpu.ops.voxel_grid import finalize_dense
+    from multiple_object_tracking_lidar_tpu.ops.voxel_grid import finalize_dense_cm
+
+    from multiple_object_tracking_lidar_tpu.ops.static_mask import (
+        get_cell_static_table,
+        remove_static_cells,
+    )
 
     caps = config.caps
     dtype = jnp.dtype(config.dtype)
+    dims = grid_shape(config.scene, config.voxel_leaf_size, config.leaf_z)
 
-    cent, occ, n_vox = finalize_dense(acc)
-    dyn = remove_static(cent, occ, env)
+    # acc arrives CHANNEL-MAJOR (4, n_cells); all dense-grid stages stay in
+    # that layout — (n, 3) column slices cost a ~0.25 ms minor-dim relayout
+    # EACH on this TPU (docs/PERFORMANCE.md), channel rows are free
+    cent, occ, n_vox = finalize_dense_cm(acc)
+    # elementwise drop-bit fast path: the per-cell table arrives as a jit
+    # ARGUMENT from bind_env (closure-baked array constants cost ~0.3 ms per
+    # dispatch on this stack — docs/PERFORMANCE.md); when called without one
+    # and the map is concrete at trace time, build it here; else fall back to
+    # the one-hot map lookup.  Identical semantics either way (tested).
+    if table is None:
+        table = get_cell_static_table(
+            env, config.scene, config.voxel_leaf_size, dims[0], dims[1], dims[2]
+        )
+    if table is not None:
+        dyn = remove_static_cells(cent, occ, env, table)
+    else:
+        dyn = remove_static(cent, occ, env)
 
-    clusters = euclidean_cluster_grid(
-        cent.astype(dtype),
+    centd = cent.astype(dtype)
+    labels, n_iters = connected_components_grid(
+        centd,
         dyn,
-        grid_shape(config.scene, config.voxel_leaf_size, config.leaf_z),
+        dims,
         config.cluster_tolerance,
         config.voxel_leaf_size,
         config.leaf_z,
+        caps.label_prop_iters,
+        caps.grid_sweeps_per_iter,
+        caps.grid_jumps_per_iter,
+    )
+    ctab = cluster_table_grid(
+        labels,
+        n_iters,
+        centd,
+        dyn,
+        dims[0],
         config.min_cluster_size,
         config.max_cluster_size,
         caps.c_max_clusters,
         caps.p_max_cluster,
-        caps.label_prop_iters,
-        caps.grid_sweeps_per_iter,
     )
 
-    dets = circumcenter_features_sorted(
-        clusters.sorted_pts,
-        clusters.starts,
-        clusters.sizes,
-        clusters.cluster_valid,
-        t,
-        caps.p_max_cluster,
-    ).astype(dtype)
+    dets = circumcenter_features_table(ctab.mpts, ctab.member_mask, t).astype(dtype)
 
     return Perception(
         dets=dets,
-        det_valid=clusters.cluster_valid,
+        det_valid=ctab.cluster_valid,
         t=t,
         n_points=n_points,
         n_vox=n_vox,
         n_dynamic=dyn.sum(),
-        n_clusters=clusters.n_clusters,
+        n_clusters=ctab.n_clusters,
     )
 
 
@@ -304,24 +378,31 @@ def _perceive_from_vox(
     )
 
 
-def perceive(frame: Frame, env: MapEnv, *, config: TrackerConfig) -> Perception:
+def perceive(
+    frame: Frame, env: MapEnv, *, config: TrackerConfig, table=None
+) -> Perception:
     """Full stateless perception front-end for one frame."""
     if config.voxel_mode == "onehot" or config.cluster_backend == "grid":
         from multiple_object_tracking_lidar_tpu.ops.voxel_grid import (
-            voxel_accumulate_onehot,
+            voxel_accumulate_onehot_cm,
         )
 
-        accumulate = (
-            voxel_accumulate_onehot if config.voxel_mode == "onehot" else voxel_accumulate
+        pts = frame.points.astype(jnp.dtype(config.dtype))
+        if config.voxel_mode == "onehot":
+            acc_cm = voxel_accumulate_onehot_cm(
+                pts, frame.mask, config.scene, config.voxel_leaf_size, config.leaf_z
+            )
+        else:
+            acc_cm = voxel_accumulate(
+                pts, frame.mask, config.scene, config.voxel_leaf_size, config.leaf_z
+            ).T
+        if config.cluster_backend == "grid":
+            return _perceive_from_dense_acc(
+                acc_cm, frame.t, frame.mask.sum(), env, config=config, table=table
+            )
+        return perceive_from_acc(
+            acc_cm.T, frame.t, frame.mask.sum(), env, config=config, table=table
         )
-        acc = accumulate(
-            frame.points.astype(jnp.dtype(config.dtype)),
-            frame.mask,
-            config.scene,
-            config.voxel_leaf_size,
-            config.leaf_z,
-        )
-        return perceive_from_acc(acc, frame.t, frame.mask.sum(), env, config=config)
     if config.voxel_mode in ("scan", "runs"):
         if config.voxel_mode == "runs":
             # Pallas sorted-runs kernel: deterministic lowering, sidesteps

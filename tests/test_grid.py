@@ -15,6 +15,7 @@ import oracle
 from multiple_object_tracking_lidar_tpu.config import Capacities, SceneBounds, TrackerConfig
 from multiple_object_tracking_lidar_tpu.ops.cluster import euclidean_cluster
 from multiple_object_tracking_lidar_tpu.ops.cluster_grid import (
+    cluster_table_grid,
     connected_components_grid,
     euclidean_cluster_grid,
 )
@@ -84,9 +85,10 @@ def test_pallas_accumulator_matches_jnp(rng):
     ix = jnp.where(ok, ix, -1)
     iyz = jnp.where(ok, iy + gy * iz, -1)
     a_pl = _accumulate_pallas(pts, ix, iyz, ok, gx, gy * gz, block=512, interpret=True)
-    np.testing.assert_array_equal(np.asarray(a_pl[:, 3]), np.asarray(a_jnp[:, 3]))
+    # kernel output is channel-major (4, n_cells)
+    np.testing.assert_array_equal(np.asarray(a_pl[3]), np.asarray(a_jnp[:, 3]))
     np.testing.assert_allclose(
-        np.asarray(a_pl[:, :3]), np.asarray(a_jnp[:, :3]), rtol=0, atol=1e-6
+        np.asarray(a_pl[:3].T), np.asarray(a_jnp[:, :3]), rtol=0, atol=1e-6
     )
 
 
@@ -98,7 +100,7 @@ def test_grid_cc_matches_bfs_oracle(rng):
     cent, occ, _ = finalize_dense(acc)
     dims = grid_shape(SCENE, LEAF, LEAF_Z)
     labels, _ = connected_components_grid(
-        cent, occ, dims, TOL, LEAF, LEAF_Z, max_iters=64, sweeps_per_iter=4
+        cent.T, occ, dims, TOL, LEAF, LEAF_Z, max_iters=64, sweeps_per_iter=4
     )
     labels = np.asarray(labels)
     occ_np = np.asarray(occ)
@@ -124,7 +126,7 @@ def test_grid_cluster_matches_pointlist_backend(rng):
 
     c_max, p_max = 16, 64
     g = euclidean_cluster_grid(
-        cent, occ, dims, TOL, LEAF, LEAF_Z, 2, 50, c_max, p_max, 64, 4
+        cent.T, occ, dims, TOL, LEAF, LEAF_Z, 2, 50, c_max, p_max, 64, 4
     )
 
     # compacted list (order-preserving) for the all-pairs backend
@@ -155,6 +157,78 @@ def test_grid_cluster_matches_pointlist_backend(rng):
             np.asarray(p.sorted_pts[s_p : s_p + n_p]),
             rtol=0,
             atol=0,
+        )
+
+
+def test_cell_static_table_matches_remove_static(rng, fixture_map):
+    """Elementwise drop-bit lookup == the one-hot map lookup, cell by cell,
+    on the real fixture map (including out-of-map and dilated boundaries)."""
+    from multiple_object_tracking_lidar_tpu.ops.static_mask import (
+        build_cell_static_table,
+        build_static_mask,
+        remove_static,
+        remove_static_cells,
+    )
+
+    env = build_static_mask(fixture_map, 4, 50)
+    dims = grid_shape(SCENE, LEAF, LEAF_Z)
+    gx, gy, gz = dims
+    table = build_cell_static_table(env, SCENE, LEAF, gx, gy, gz)
+    assert table is not None
+
+    for seed in range(3):
+        r = np.random.default_rng(seed)
+        pts = jnp.asarray(
+            np.stack(
+                [
+                    r.uniform(-2.5, 2.5, 3000),
+                    r.uniform(-1.5, 5.5, 3000),
+                    r.uniform(0.0, 2.0, 3000),
+                ],
+                axis=1,
+            ).astype(np.float32)
+        )
+        acc = voxel_accumulate(pts, jnp.ones(3000, bool), SCENE, LEAF, LEAF_Z)
+        cent, occ, _ = finalize_dense(acc)
+        want = remove_static(cent, occ, env)
+        got = remove_static_cells(cent.T, occ, env, table)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.float64])
+def test_cluster_table_matches_sorted_postprocess(rng, dtype):
+    """The sort/scatter/gather-free matmul postprocess == the sorted-path
+    postprocess: same cluster order, sizes, validity, and bit-identical
+    member points in ascending-cell order."""
+    pts, mask = _points(rng, 700)
+    acc = voxel_accumulate(pts.astype(dtype), mask, SCENE, LEAF, LEAF_Z)
+    cent, occ, _ = finalize_dense(acc)
+    dims = grid_shape(SCENE, LEAF, LEAF_Z)
+
+    c_max, p_max = 16, 64
+    g = euclidean_cluster_grid(
+        cent.T, occ, dims, TOL, LEAF, LEAF_Z, 2, 50, c_max, p_max, 64, 4
+    )
+    labels, n_it = connected_components_grid(
+        cent.T, occ, dims, TOL, LEAF, LEAF_Z, 64, 4
+    )
+    tbl = cluster_table_grid(labels, n_it, cent.T, occ, dims[0], 2, 50, c_max, p_max)
+
+    np.testing.assert_array_equal(np.asarray(tbl.cluster_valid), np.asarray(g.cluster_valid))
+    np.testing.assert_array_equal(np.asarray(tbl.sizes), np.asarray(g.sizes))
+    np.testing.assert_array_equal(np.asarray(tbl.roots), np.asarray(g.roots))
+    assert int(tbl.n_clusters) == int(g.n_clusters)
+    mm = np.asarray(tbl.member_mask)
+    for c in range(c_max):
+        if not bool(g.cluster_valid[c]):
+            assert not mm[c].any()
+            continue
+        n_c = int(g.sizes[c])
+        # mask is a prefix (members packed in ascending cell order)
+        assert mm[c, :n_c].all() and not mm[c, n_c:].any()
+        s_g = int(g.starts[c])
+        np.testing.assert_array_equal(
+            np.asarray(tbl.mpts[c, :n_c]), np.asarray(g.sorted_pts[s_g : s_g + n_c])
         )
 
 
