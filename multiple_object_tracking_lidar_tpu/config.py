@@ -151,6 +151,11 @@ class TrackerConfig:
                                          # | "onehot" (dense grid via factored
                                          # one-hot MXU matmuls — deterministic,
                                          # sort- and scatter-free)
+    grid_cc: str = "auto"                # dense-grid CC engine: "auto" (fused
+                                         # Pallas kernel on TPU when the
+                                         # per-cell static table applies, jnp
+                                         # stencil otherwise) | "pallas" |
+                                         # "jnp"
     dtype: str = "float32"               # device compute dtype
     caps: Capacities = dataclasses.field(default_factory=Capacities)
     scene: SceneBounds = dataclasses.field(default_factory=SceneBounds)
@@ -175,11 +180,15 @@ class TrackerConfig:
             raise ValueError(f"unknown cluster_backend {self.cluster_backend!r}")
         if self.voxel_mode not in ("dense", "runs", "scan", "onehot"):
             raise ValueError(f"unknown voxel_mode {self.voxel_mode!r}")
-        if self.cluster_backend == "grid" and self.voxel_mode not in ("dense", "onehot"):
+        if self.cluster_backend == "grid" and self.voxel_mode not in (
+            "dense", "onehot", "runs"
+        ):
             raise ValueError(
                 "cluster_backend='grid' consumes the dense accumulator; "
-                "use voxel_mode 'dense' or 'onehot'"
+                "use voxel_mode 'dense', 'onehot', or 'runs' (sort+densify)"
             )
+        if self.grid_cc not in ("auto", "pallas", "jnp"):
+            raise ValueError(f"unknown grid_cc {self.grid_cc!r}")
 
     def replace(self, **kw: Any) -> "TrackerConfig":
         return dataclasses.replace(self, **kw)

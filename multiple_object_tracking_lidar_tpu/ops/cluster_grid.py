@@ -169,6 +169,22 @@ def connected_components_grid(
     return labels.reshape(n), n_it * sweeps_per_iter
 
 
+def _excl_cumsum_2level(A: jnp.ndarray, gx: int) -> jnp.ndarray:
+    """Exclusive cumsum of (n, k) along axis 0 via a two-level scan:
+    within gx-sized blocks + a block-prefix pass.  The flat log-shift
+    cumsum over (n, k) was the single most expensive fusion in the step
+    trace (322 us at n=11000, k=301); two-level cuts the pass count from
+    log2(n) to log2(gx) + log2(n/gx) over much smaller arrays (~30 us).
+    Values are small integer counts in f32 — every sum is exact."""
+    n, k = A.shape
+    b = n // gx
+    Ar = A.reshape(b, gx, k)
+    within = jnp.cumsum(Ar, axis=1) - Ar
+    blocks = Ar.sum(axis=1)
+    prefix = jnp.cumsum(blocks, axis=0) - blocks
+    return (within + prefix[:, None, :]).reshape(n, k)
+
+
 class ClusterTable(NamedTuple):
     """Dense per-slot cluster output of the matmul postprocess."""
 
@@ -258,7 +274,7 @@ def cluster_table_grid(
     greater = jnp.cumsum(hist[::-1])[::-1] - hist              # # roots larger
     # select-style (not matmul) so integer values stay f32-exact
     n_greater = jnp.sum(jnp.where(Z, greater[None, :], 0.0), axis=1)
-    earlier_same = jnp.sum((jnp.cumsum(Zf, axis=0) - Zf) * Zf, axis=1)
+    earlier_same = jnp.sum(_excl_cumsum_2level(Zf, gx) * Zf, axis=1)
     rank = jnp.where(is_root, (n_greater + earlier_same).astype(jnp.int32), c_max)
 
     # per-slot root data: one-hot over the c_max output slots
@@ -288,7 +304,7 @@ def cluster_table_grid(
         (point_rank[:, None] == jnp.arange(c_max, dtype=jnp.int32)[None, :])
         & member[:, None]
     ).astype(f32)
-    pos = jnp.sum((jnp.cumsum(M, axis=0) - M) * M, axis=1).astype(jnp.int32)
+    pos = jnp.sum(_excl_cumsum_2level(M, gx) * M, axis=1).astype(jnp.int32)
     Q = (
         (jnp.where(member, pos, -1)[:, None] == jnp.arange(p_max, dtype=jnp.int32)[None, :])
     ).astype(jnp.bfloat16)

@@ -78,12 +78,23 @@ class CellStaticTable(NamedTuple):
     (the cell's map-space bounding box, +-1 pixel of f32 fuzz margin), so the
     per-frame lookup collapses from a (cells x map) one-hot bilinear form to
     a fully ELEMENTWISE bit extraction: ~10 VPU ops total, no gather, no
-    matmul.  Built once per (map, scene) pair on the host."""
+    matmul.  Built once per (map, scene) pair on the host.
+
+    Registered as a pytree with ``k`` as STATIC aux data (the fused Pallas
+    kernel needs the window edge at trace time even when the table itself is
+    a jit argument)."""
 
     base_row: jax.Array   # (n_cells,) i32 — window origin per cell
     base_col: jax.Array   # (n_cells,) i32
     bits: jax.Array       # (n_cells,) i32 — bit (qr*k+qc) set = DROP
-    k: int                # window edge length (k*k <= 32)
+    k: int                # window edge length (k*k <= 32) — static
+
+
+jax.tree_util.register_pytree_node(
+    CellStaticTable,
+    lambda t: ((t.base_row, t.base_col, t.bits), t.k),
+    lambda k, leaves: CellStaticTable(*leaves, k),
+)
 
 
 def build_cell_static_table(

@@ -118,8 +118,11 @@ def voxel_accumulate_onehot_cm(
             and block is not None
         )
     if use_pallas and block is not None:
-        return _accumulate_pallas(
-            points, ix, iyz, in_bounds, gx, gyz, block
+        # v2 kernel: quantize in-kernel from the raw (N, 3) block — the only
+        # operand keeps its natural layout (no tiled->linear relayout copies)
+        pm = jnp.where(mask[:, None], points.astype(jnp.float32), 1e9)
+        return _accumulate_pallas_v2(
+            pm, scene, leaf_xy, leaf_z, block
         ).astype(points.dtype)
 
     if points.dtype == jnp.float64:
@@ -160,13 +163,12 @@ def voxel_accumulate_onehot_cm(
 
 
 def _pick_block(n: int) -> int | None:
-    """Point-block size that tiles N exactly, smallest first: measured on
-    v5e, block=512 keeps the whole one-hot working set inside Mosaic's
-    scoped-VMEM budget and runs ~0.02 ms at bench shapes, while >=1024
-    spills (1.2-1.4 ms) and 4096 can exceed the 16 MB scoped-VMEM limit
-    outright inside larger programs (compile error).  More grid steps are
-    free by comparison."""
-    for b in (512, 1024, 2048, 4096):
+    """Point-block size that tiles N exactly.  Measured via xplane traces
+    (the only trustworthy timing on this remote-dispatch stack): per-grid-
+    step overhead dominates below 2048 (v2 kernel: 964/759/629/629 us at
+    512/1024/2048/4096 for N=106496), and 8192 exceeds Mosaic's scoped
+    VMEM.  2048 is the sweet spot with the smaller working set."""
+    for b in (2048, 4096, 1024, 512):
         if n % b == 0:
             return b
     return None
@@ -198,6 +200,131 @@ def _acc_kernel(ix_ref, iyz_ref, vals_ref, out_ref, *, block, gx, gyz, nch):
         @pl.when(b > 0)
         def _():
             out_ref[c] = out_ref[c] + acc_c
+
+
+def _acc_kernel_v2(
+    pts_ref, out_ref, *, block, gx, gy, gz, gyz, inv_xy, inv_z, bx, by, bz
+):
+    """One grid step = one point block, quantization IN-KERNEL.
+
+    v1 (`_acc_kernel`) took host-prepared (ix, iyz, vals) operands; the
+    tiled->linear relayout copies XLA inserts in front of the custom call
+    cost ~160 us/frame at bench shapes (measured from the xplane trace) and
+    the host-side prep another ~35 us.  Here the only operand is the raw
+    (N, 3) point block: quantize (f32 multiply + floor, identical to
+    ops.voxel._quantize), bounds-test, bf16x3-split and one-hot build all
+    happen in VMEM.  Masked points arrive pushed out of bounds (sentinel
+    coords) and contribute nothing.
+
+    Output layout is (10, gx, gyz): the dot contracts the point dim with
+    gyz on the LANES (220 of 256 used vs 50 of 128 for the v1 orientation).
+    """
+    b = pl.program_id(0)
+    p = pts_ref[...]                                  # (B, 3) f32
+    f32 = jnp.float32
+    # quantize + bounds-test VECTORIZED on the (B, 3) block: per-lane (B, 1)
+    # arithmetic is poison in Mosaic (1 of 128 lanes used per op), so all
+    # scalar-ish math happens on 3 lanes at once and only the final slices
+    # touch (B, 1) shapes
+    lane3 = jax.lax.broadcasted_iota(jnp.int32, (block, 3), 1)
+    inv3 = jnp.where(lane3 == 2, inv_z, inv_xy).astype(f32)
+    b3 = (
+        jnp.where(lane3 == 0, bx, jnp.where(lane3 == 1, by, bz))
+    ).astype(jnp.int32)
+    g3 = (
+        jnp.where(lane3 == 0, gx, jnp.where(lane3 == 1, gy, gz))
+    ).astype(jnp.int32)
+    i3 = jnp.floor(p * inv3).astype(jnp.int32) - b3   # (B, 3)
+    ok3 = (i3 >= 0) & (i3 < g3)
+    ok = jnp.all(ok3, axis=1, keepdims=True)          # (B, 1)
+
+    ix = i3[:, 0:1]
+    iyz = i3[:, 1:2] + gy * i3[:, 2:3]                # (B, 1)
+    ixm = jnp.where(ok, ix, -1)
+    iyzm = jnp.where(ok, iyz, -1)
+
+    iota_x = jax.lax.broadcasted_iota(jnp.int32, (block, gx), 1)
+    iota_y = jax.lax.broadcasted_iota(jnp.int32, (block, gyz), 1)
+    Y = (iyzm == iota_y).astype(jnp.bfloat16)
+    exb = (ixm == iota_x).astype(jnp.bfloat16)        # exact 0/1
+
+    # bf16x3 split, vectorized on (B, 3)
+    v3 = jnp.where(ok, p, 0.0)
+    h1 = v3.astype(jnp.bfloat16)
+    r1 = v3 - h1.astype(f32)
+    h2 = r1.astype(jnp.bfloat16)
+    h3 = (r1 - h2.astype(f32)).astype(jnp.bfloat16)
+    vals = [
+        h1[:, 0:1], h2[:, 0:1], h3[:, 0:1],
+        h1[:, 1:2], h2[:, 1:2], h3[:, 1:2],
+        h1[:, 2:3], h2[:, 2:3], h3[:, 2:3],
+        ok.astype(jnp.bfloat16),
+    ]
+
+    for c in range(10):
+        Xc = exb * vals[c]                            # (B, gx) bf16
+        acc_c = jax.lax.dot_general(
+            Xc, Y, (((0,), (0,)), ((), ())), preferred_element_type=f32
+        )                                             # (gx, gyz)
+
+        @pl.when(b == 0)
+        def _():
+            out_ref[c] = acc_c
+
+        @pl.when(b > 0)
+        def _():
+            out_ref[c] = out_ref[c] + acc_c
+
+
+def _accumulate_pallas_v2(
+    points: jnp.ndarray,   # (N, 3) f32, masked points at out-of-bounds coords
+    scene: SceneBounds,
+    leaf_xy: float,
+    leaf_z: float,
+    block: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """(4, n_cells) channel-major accumulator via the in-kernel-quantize
+    kernel.  n_cells flat order is PCL's (x-fastest): the kernel emits
+    (gx, gyz) and the (cheap, 264 KB) transpose restores (gyz, gx)."""
+    gx, gy, gz = grid_shape(scene, leaf_xy, leaf_z)
+    gyz = gy * gz
+    bx = math.floor(scene.x_min / leaf_xy)
+    by = math.floor(scene.y_min / leaf_xy)
+    bz = math.floor(scene.z_min / leaf_z)
+    n = points.shape[0]
+    grid = n // block
+
+    out = pl.pallas_call(
+        functools.partial(
+            _acc_kernel_v2,
+            block=block,
+            gx=gx,
+            gy=gy,
+            gz=gz,
+            gyz=gyz,
+            inv_xy=float(1.0 / leaf_xy),
+            inv_z=float(1.0 / leaf_z),
+            bx=bx,
+            by=by,
+            bz=bz,
+        ),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((block, 3), lambda b: (b, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (10, gx, gyz), lambda b: (0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((10, gx, gyz), jnp.float32),
+        interpret=interpret,
+    )(points.astype(jnp.float32))
+
+    sx = out[0] + out[1] + out[2]
+    sy = out[3] + out[4] + out[5]
+    sz = out[6] + out[7] + out[8]
+    acc = jnp.stack([sx, sy, sz, out[9]], axis=0)     # (4, gx, gyz)
+    return jnp.swapaxes(acc, 1, 2).reshape(4, gyz * gx)
 
 
 def _accumulate_pallas(

@@ -272,8 +272,7 @@ def _perceive_from_dense_acc(
 
     # acc arrives CHANNEL-MAJOR (4, n_cells); all dense-grid stages stay in
     # that layout — (n, 3) column slices cost a ~0.25 ms minor-dim relayout
-    # EACH on this TPU (docs/PERFORMANCE.md), channel rows are free
-    cent, occ, n_vox = finalize_dense_cm(acc)
+    # EACH on this TPU (docs/PERFORMANCE.md), channel rows are free.
     # elementwise drop-bit fast path: the per-cell table arrives as a jit
     # ARGUMENT from bind_env (closure-baked array constants cost ~0.3 ms per
     # dispatch on this stack — docs/PERFORMANCE.md); when called without one
@@ -283,23 +282,66 @@ def _perceive_from_dense_acc(
         table = get_cell_static_table(
             env, config.scene, config.voxel_leaf_size, dims[0], dims[1], dims[2]
         )
-    if table is not None:
-        dyn = remove_static_cells(cent, occ, env, table)
-    else:
-        dyn = remove_static(cent, occ, env)
 
-    centd = cent.astype(dtype)
-    labels, n_iters = connected_components_grid(
-        centd,
-        dyn,
-        dims,
-        config.cluster_tolerance,
-        config.voxel_leaf_size,
-        config.leaf_z,
-        caps.label_prop_iters,
-        caps.grid_sweeps_per_iter,
-        caps.grid_jumps_per_iter,
+    use_kernel = (
+        table is not None
+        and dtype == jnp.float32
+        and (
+            config.grid_cc == "pallas"
+            or (config.grid_cc == "auto" and jax.default_backend() == "tpu")
+        )
     )
+    if use_kernel:
+        # fused Pallas kernel: finalize + drop-bit static mask + CC with the
+        # whole grid VMEM-resident (ops/grid_pallas.py); ~one dispatch for
+        # the whole tail ahead of the cluster table
+        from multiple_object_tracking_lidar_tpu.ops.grid_pallas import (
+            fused_finalize_static_cc,
+        )
+
+        scal = jnp.stack(
+            [
+                env.origin_x,
+                env.origin_y,
+                env.cos_nyaw,
+                env.sin_nyaw,
+                env.inv_resolution,
+                jnp.float32(config.cluster_tolerance**2),
+            ]
+        )
+        centd, dyn, labels, n_iters = fused_finalize_static_cc(
+            acc.astype(jnp.float32),
+            scal,
+            table.base_row,
+            table.base_col,
+            table.bits,
+            dims=dims,
+            tol=config.cluster_tolerance,
+            leaf_xy=config.voxel_leaf_size,
+            leaf_z=config.leaf_z,
+            kwin=table.k,
+            max_sweeps=caps.label_prop_iters,
+        )
+        n_vox = (acc[3] > 0).sum()
+    else:
+        cent, occ, n_vox = finalize_dense_cm(acc)
+        if table is not None:
+            dyn = remove_static_cells(cent, occ, env, table)
+        else:
+            dyn = remove_static(cent, occ, env)
+
+        centd = cent.astype(dtype)
+        labels, n_iters = connected_components_grid(
+            centd,
+            dyn,
+            dims,
+            config.cluster_tolerance,
+            config.voxel_leaf_size,
+            config.leaf_z,
+            caps.label_prop_iters,
+            caps.grid_sweeps_per_iter,
+            caps.grid_jumps_per_iter,
+        )
     ctab = cluster_table_grid(
         labels,
         n_iters,
@@ -388,7 +430,23 @@ def perceive(
         )
 
         pts = frame.points.astype(jnp.dtype(config.dtype))
-        if config.voxel_mode == "onehot":
+        if config.voxel_mode == "runs":
+            # sort + segsum + small densify matmul: ~10x fewer MACs than the
+            # direct one-hot histogram at bench density (see
+            # ops/voxel_pallas.voxel_accumulate_runs_cm)
+            from multiple_object_tracking_lidar_tpu.ops.voxel_pallas import (
+                voxel_accumulate_runs_cm,
+            )
+
+            acc_cm = voxel_accumulate_runs_cm(
+                pts,
+                frame.mask,
+                config.scene,
+                config.voxel_leaf_size,
+                config.leaf_z,
+                interpret=jax.default_backend() != "tpu",
+            )
+        elif config.voxel_mode == "onehot":
             acc_cm = voxel_accumulate_onehot_cm(
                 pts, frame.mask, config.scene, config.voxel_leaf_size, config.leaf_z
             )

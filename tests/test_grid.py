@@ -354,5 +354,175 @@ def test_grid_backend_no_truncation_on_dense_scene(fixture_map):
 
 
 def test_grid_requires_dense_voxel_mode():
+    # "runs" is allowed (sort + densify feeds the dense grid); "scan" is not
     with pytest.raises(ValueError):
-        TrackerConfig(cluster_backend="grid", voxel_mode="runs")
+        TrackerConfig(cluster_backend="grid", voxel_mode="scan")
+    TrackerConfig(cluster_backend="grid", voxel_mode="runs")
+
+
+def test_v2_accumulator_matches_jnp(rng):
+    """In-kernel-quantize accumulator (interpret) == jnp one-hot, including
+    masked points (folded to out-of-bounds sentinel coords)."""
+    from multiple_object_tracking_lidar_tpu.ops.voxel_grid import (
+        _accumulate_pallas_v2,
+        voxel_accumulate_onehot_cm,
+    )
+
+    n = 1024
+    pts = np.stack(
+        [
+            np.random.default_rng(5).uniform(-3, 3, n),
+            np.random.default_rng(6).uniform(-2, 7, n),
+            np.random.default_rng(7).uniform(-0.5, 2.5, n),
+        ],
+        axis=1,
+    ).astype(np.float32)
+    mask = np.random.default_rng(8).random(n) < 0.9
+    ref = voxel_accumulate_onehot_cm(
+        jnp.asarray(pts), jnp.asarray(mask), SCENE, LEAF, LEAF_Z, use_pallas=False
+    )
+    pm = jnp.where(jnp.asarray(mask)[:, None], jnp.asarray(pts), 1e9)
+    got = _accumulate_pallas_v2(pm, SCENE, LEAF, LEAF_Z, block=512, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got[3]), np.asarray(ref[3]))
+    np.testing.assert_allclose(
+        np.asarray(got[:3]), np.asarray(ref[:3]), rtol=0, atol=1e-6
+    )
+
+
+def test_runs_cm_accumulator_matches_jnp(rng):
+    """Sort + segsum + densify matmul == jnp one-hot accumulator (counts
+    integer-exact; sums to f32 summation order)."""
+    from multiple_object_tracking_lidar_tpu.ops.voxel_grid import (
+        voxel_accumulate_onehot_cm,
+    )
+    from multiple_object_tracking_lidar_tpu.ops.voxel_pallas import (
+        voxel_accumulate_runs_cm,
+    )
+
+    n = 8192
+    r = np.random.default_rng(11)
+    pts = np.stack(
+        [r.uniform(-3, 3, n), r.uniform(-2, 7, n), r.uniform(-0.5, 2.5, n)],
+        axis=1,
+    ).astype(np.float32)
+    mask = r.random(n) < 0.9
+    ref = voxel_accumulate_onehot_cm(
+        jnp.asarray(pts), jnp.asarray(mask), SCENE, LEAF, LEAF_Z, use_pallas=False
+    )
+    got = voxel_accumulate_runs_cm(
+        jnp.asarray(pts), jnp.asarray(mask), SCENE, LEAF, LEAF_Z, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(got[3]), np.asarray(ref[3]))
+    np.testing.assert_allclose(
+        np.asarray(got[:3]), np.asarray(ref[:3]), rtol=0, atol=2e-5
+    )
+
+
+def test_fused_finalize_static_cc_matches_jnp(rng, fixture_map):
+    """The fused Pallas kernel (interpret) == finalize_dense_cm +
+    remove_static_cells + connected_components_grid, bit-for-bit."""
+    from multiple_object_tracking_lidar_tpu.ops.grid_pallas import (
+        fused_finalize_static_cc,
+    )
+    from multiple_object_tracking_lidar_tpu.ops.static_mask import (
+        build_cell_static_table,
+        build_static_mask,
+        remove_static_cells,
+    )
+    from multiple_object_tracking_lidar_tpu.ops.voxel_grid import (
+        finalize_dense_cm,
+        voxel_accumulate_onehot_cm,
+    )
+
+    env = build_static_mask(fixture_map, 4, 50)
+    scene = SceneBounds(
+        x_min=-2.6, x_max=2.6, y_min=-1.6, y_max=9.6, z_min=0.0, z_max=2.0
+    )
+    dims = grid_shape(scene, LEAF, LEAF_Z)
+    gx, gy, gz = dims
+    table = build_cell_static_table(env, scene, LEAF, gx, gy, gz)
+    assert table is not None
+
+    r = np.random.default_rng(21)
+    n = 4000
+    pts = jnp.asarray(
+        np.stack(
+            [r.uniform(-2.5, 2.5, n), r.uniform(-1.5, 9.5, n), r.uniform(0, 2, n)],
+            axis=1,
+        ).astype(np.float32)
+    )
+    acc = voxel_accumulate_onehot_cm(pts, jnp.ones(n, bool), scene, LEAF, LEAF_Z)
+    cent, occ, _ = finalize_dense_cm(acc)
+    dyn = remove_static_cells(cent, occ, env, table)
+    labels_ref, _ = connected_components_grid(
+        cent, dyn, dims, TOL, LEAF, LEAF_Z, 64, 4
+    )
+
+    scal = jnp.asarray(
+        [
+            float(np.asarray(env.origin_x)),
+            float(np.asarray(env.origin_y)),
+            float(np.asarray(env.cos_nyaw)),
+            float(np.asarray(env.sin_nyaw)),
+            float(np.asarray(env.inv_resolution)),
+            TOL * TOL,
+        ],
+        jnp.float32,
+    )
+    cent_k, dyn_k, labels_k, nsw = fused_finalize_static_cc(
+        acc, scal, table.base_row, table.base_col, table.bits,
+        dims=dims, tol=TOL, leaf_xy=LEAF, leaf_z=LEAF_Z, kwin=table.k,
+        interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(dyn_k), np.asarray(dyn))
+    np.testing.assert_array_equal(np.asarray(cent_k), np.asarray(cent))
+    np.testing.assert_array_equal(np.asarray(labels_k), np.asarray(labels_ref))
+    assert int(nsw) > 0
+
+
+def test_grid_pipeline_runs_mode_matches_onehot(fixture_map):
+    """grid + voxel_mode='runs' end-to-end tracks match grid + 'onehot'
+    (same detections up to f32 summation order of voxel sums)."""
+    from multiple_object_tracking_lidar_tpu.ops.static_mask import build_static_mask
+    from multiple_object_tracking_lidar_tpu.tracker.pipeline import Tracker
+    from multiple_object_tracking_lidar_tpu.tracker.state import Frame
+
+    env = build_static_mask(fixture_map, 4, 50)
+    base = dict(
+        voxel_leaf_size=0.1,
+        max_cluster_size=300,
+        data_length=10,
+        cluster_backend="grid",
+        scene=SceneBounds(
+            x_min=-2.6, x_max=2.6, y_min=-1.6, y_max=9.6, z_min=0.0, z_max=2.0
+        ),
+        caps=Capacities(
+            n_max_points=2048, m_max_voxels=512, m_max_dynamic=256,
+            c_max_clusters=16, p_max_cluster=64, k_max_tracks=16,
+        ),
+    )
+    outs = {}
+    for mode in ("onehot", "runs"):
+        cfg = TrackerConfig(voxel_mode=mode, **base)
+        tracker = Tracker(cfg)
+        state = tracker.init_state()
+        r = np.random.default_rng(3)
+        for k in range(4):
+            n = cfg.caps.n_max_points
+            obj = r.normal([0.5 + 0.1 * k, 2.0, 0.5], 0.1, (200, 3))
+            buf = np.full((n, 3), 50.0, np.float32)
+            buf[:200] = obj
+            msk = np.zeros(n, bool)
+            msk[:200] = True
+            state, out = tracker.step(
+                state,
+                Frame(points=jnp.asarray(buf.astype(np.float32)),
+                      mask=jnp.asarray(msk), t=jnp.float32(0.1 * (k + 1))),
+                env,
+            )
+        outs[mode] = jax.tree.map(np.asarray, out)
+    a, b = outs["onehot"], outs["runs"]
+    assert int(a.n_clusters) == int(b.n_clusters)
+    np.testing.assert_allclose(
+        a.pos[a.valid], b.pos[b.valid], rtol=0, atol=1e-5
+    )
