@@ -179,9 +179,12 @@ def _excl_cumsum_2level(A: jnp.ndarray, gx: int) -> jnp.ndarray:
     n, k = A.shape
     b = n // gx
     Ar = A.reshape(b, gx, k)
-    within = jnp.cumsum(Ar, axis=1) - Ar
+    # associative_scan pins the log-depth shift-add lowering: XLA lowers
+    # jnp.cumsum inside large fusions to an O(axis) reduce_window (81 us
+    # measured at these shapes vs ~20 us for the explicit log-depth form)
+    within = jax.lax.associative_scan(jnp.add, Ar, axis=1) - Ar
     blocks = Ar.sum(axis=1)
-    prefix = jnp.cumsum(blocks, axis=0) - blocks
+    prefix = jax.lax.associative_scan(jnp.add, blocks, axis=0) - blocks
     return (within + prefix[:, None, :]).reshape(n, k)
 
 
@@ -318,21 +321,21 @@ def cluster_table_grid(
         )
         > 0
     )
-    # value-carrying contractions run in the centroid dtype at HIGHEST
+    # value-carrying contraction runs in the centroid dtype at HIGHEST
     # precision: with one-hot selectors each output has exactly one nonzero
-    # term, so member points come out bit-identical to cent
+    # term, so member points come out bit-identical to cent.  All 3 channels
+    # ride ONE dot with the channel stacked into the output rows (3 separate
+    # dots measured 76 us of launch/fusion overhead vs ~15 for the batch)
     vdt = cent.dtype
-    chans = []
-    for ch in range(3):
-        Mc = M.astype(vdt) * cent[ch][:, None]
-        chans.append(
-            jax.lax.dot_general(
-                Mc, Q.astype(vdt), (((0,), (0,)), ((), ())),
-                preferred_element_type=vdt,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-        )
-    mpts = jnp.stack(chans, axis=-1)                           # (C, P, 3)
+    Mc3 = jnp.concatenate(
+        [(M.astype(vdt) * cent[ch][:, None]) for ch in range(3)], axis=1
+    )                                                          # (n, 3*C)
+    flat = jax.lax.dot_general(
+        Mc3, Q.astype(vdt), (((0,), (0,)), ((), ())),
+        preferred_element_type=vdt,
+        precision=jax.lax.Precision.HIGHEST,
+    )                                                          # (3*C, P)
+    mpts = jnp.moveaxis(flat.reshape(3, c_max, p_max), 0, -1)  # (C, P, 3)
 
     return ClusterTable(
         mpts=mpts,

@@ -118,11 +118,11 @@ def voxel_accumulate_onehot_cm(
             and block is not None
         )
     if use_pallas and block is not None:
-        # v2 kernel: quantize in-kernel from the raw (N, 3) block — the only
-        # operand keeps its natural layout (no tiled->linear relayout copies)
-        pm = jnp.where(mask[:, None], points.astype(jnp.float32), 1e9)
-        return _accumulate_pallas_v2(
-            pm, scene, leaf_xy, leaf_z, block
+        # v3 kernel: quantize + mask-fold in-kernel from the raw (N, 3)
+        # points + (N, 1) mask operands, int8 fixed-point digit channels
+        # (bit-deterministic integer sums; see kernel doc)
+        return _accumulate_pallas_v3(
+            points, mask, scene, leaf_xy, leaf_z, block
         ).astype(points.dtype)
 
     if points.dtype == jnp.float64:
@@ -166,9 +166,9 @@ def _pick_block(n: int) -> int | None:
     """Point-block size that tiles N exactly.  Measured via xplane traces
     (the only trustworthy timing on this remote-dispatch stack): per-grid-
     step overhead dominates below 2048 (v2 kernel: 964/759/629/629 us at
-    512/1024/2048/4096 for N=106496), and 8192 exceeds Mosaic's scoped
-    VMEM.  2048 is the sweet spot with the smaller working set."""
-    for b in (2048, 4096, 1024, 512):
+    512/1024/2048/4096 for N=106496; v3: 692/638 at 2048/4096), and 8192
+    exceeds Mosaic's scoped VMEM."""
+    for b in (4096, 2048, 1024, 512):
         if n % b == 0:
             return b
     return None
@@ -203,7 +203,7 @@ def _acc_kernel(ix_ref, iyz_ref, vals_ref, out_ref, *, block, gx, gyz, nch):
 
 
 def _acc_kernel_v2(
-    pts_ref, out_ref, *, block, gx, gy, gz, gyz, inv_xy, inv_z, bx, by, bz
+    pts_ref, msk_ref, out_ref, *, block, gx, gy, gz, gyz, inv_xy, inv_z, bx, by, bz
 ):
     """One grid step = one point block, quantization IN-KERNEL.
 
@@ -236,7 +236,7 @@ def _acc_kernel_v2(
     ).astype(jnp.int32)
     i3 = jnp.floor(p * inv3).astype(jnp.int32) - b3   # (B, 3)
     ok3 = (i3 >= 0) & (i3 < g3)
-    ok = jnp.all(ok3, axis=1, keepdims=True)          # (B, 1)
+    ok = jnp.all(ok3, axis=1, keepdims=True) & (msk_ref[...] > 0.0)  # (B, 1)
 
     ix = i3[:, 0:1]
     iyz = i3[:, 1:2] + gy * i3[:, 2:3]                # (B, 1)
@@ -277,7 +277,8 @@ def _acc_kernel_v2(
 
 
 def _accumulate_pallas_v2(
-    points: jnp.ndarray,   # (N, 3) f32, masked points at out-of-bounds coords
+    points: jnp.ndarray,   # (N, 3) f32 RAW frame points (no host-side prep)
+    mask: jnp.ndarray,     # (N,) or (N, 1) validity; nonzero = keep
     scene: SceneBounds,
     leaf_xy: float,
     leaf_z: float,
@@ -286,7 +287,13 @@ def _accumulate_pallas_v2(
 ) -> jnp.ndarray:
     """(4, n_cells) channel-major accumulator via the in-kernel-quantize
     kernel.  n_cells flat order is PCL's (x-fastest): the kernel emits
-    (gx, gyz) and the (cheap, 264 KB) transpose restores (gyz, gx)."""
+    (gx, gyz) and the (cheap, 264 KB) transpose restores (gyz, gx).
+
+    The points operand is the RAW frame array: any XLA-side fold of the
+    mask into (N, 3) costs ~70 us (12-byte rows defeat vectorization in
+    the linear layout the custom call requires — measured), so the mask
+    rides as a second (N, 1) operand (contiguous floats, cheap) and the
+    fold happens in VMEM."""
     gx, gy, gz = grid_shape(scene, leaf_xy, leaf_z)
     gyz = gy * gz
     bx = math.floor(scene.x_min / leaf_xy)
@@ -312,19 +319,183 @@ def _accumulate_pallas_v2(
         grid=(grid,),
         in_specs=[
             pl.BlockSpec((block, 3), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, 1), lambda b: (b, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (10, gx, gyz), lambda b: (0, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((10, gx, gyz), jnp.float32),
         interpret=interpret,
-    )(points.astype(jnp.float32))
+    )(points.astype(jnp.float32), mask.astype(jnp.float32).reshape(n, 1))
 
     sx = out[0] + out[1] + out[2]
     sy = out[3] + out[4] + out[5]
     sz = out[6] + out[7] + out[8]
     acc = jnp.stack([sx, sy, sz, out[9]], axis=0)     # (4, gx, gyz)
     return jnp.swapaxes(acc, 1, 2).reshape(4, gyz * gx)
+
+
+_FXP_XY = 19  # xy frac scale: 2^19 ~ 1.9 um resolution over [0, leaf)
+_FXP_Z = 14   # z frac scale over [0, 20*leaf): ~3e-5 m resolution
+
+
+def _acc_kernel_v3(
+    pts_ref, msk_ref, out_ref, *, block, gx, gy, gz, gyz, w1,
+    inv_xy, inv_z, leaf_xy, leaf_z, bx, by, bz
+):
+    """int8 fixed-point histogram step.  Design notes (all trace-measured):
+
+    * the flat cell index factors as ``lin = 128*u + v`` (NOT the (gx, gyz)
+      geometry factors): v has power-of-two width so u/v are a shift/mask,
+      and the (w1, 128) output is row-major flat cell order — the dense
+      (4, n_cells) reconstruction is a pure reshape, and each channel's
+      output fits max(1, w1/128) MXU tiles instead of the 2+ the
+      (gx, gyz)=(50, 220) layout needed;
+    * coordinates ride as TWO balanced int8 digits of the CELL-RELATIVE
+      offset ``round((x - cell_x0 - leaf/2) * 2^19)`` — the cell base is
+      a pure function of the cell index, reconstructed exactly at finalize
+      as count*cell_center + digit_sums/2^19, so only the sub-leaf frac
+      needs digits (2 per axis instead of 3 for absolute coords).  Every
+      product against the 0/1 one-hot is int8-exact and the MXU runs at
+      its 2x int8 rate with i32 accumulation — per-digit sums are EXACT
+      integers, making voxel sums bit-deterministic across compiles and
+      summation orders (the bf16x3 variant is exact per product but
+      f32-accumulation-order dependent).  Centroid agreement with the f32
+      paths: ~1e-6 (xy), ~3e-5 (z; the 20x z-leaf spreads the same 16
+      digit bits over [0, 2 m));
+    * masked / out-of-scene / NaN points: the value-side one-hot row is
+      all-zero (u = -1 matches nothing), so garbage digits from
+      i32-overflowing sentinel coords contribute exactly 0.
+    """
+    b = pl.program_id(0)
+    p = pts_ref[...]                                  # (B, 3) f32
+    f32 = jnp.float32
+    i32 = jnp.int32
+    lane3 = jax.lax.broadcasted_iota(i32, (block, 3), 1)
+    inv3 = jnp.where(lane3 == 2, inv_z, inv_xy).astype(f32)
+    b3 = (
+        jnp.where(lane3 == 0, bx, jnp.where(lane3 == 1, by, bz))
+    ).astype(i32)
+    g3 = (
+        jnp.where(lane3 == 0, gx, jnp.where(lane3 == 1, gy, gz))
+    ).astype(i32)
+    i3 = jnp.floor(p * inv3).astype(i32) - b3         # (B, 3)
+    ok3 = (i3 >= 0) & (i3 < g3) & (p == p)            # NaN coords drop here
+    ok = jnp.all(ok3, axis=1, keepdims=True) & (msk_ref[...] > 0.0)  # (B, 1)
+
+    lin = i3[:, 0:1] + gx * (i3[:, 1:2] + gy * i3[:, 2:3])
+    lin = jnp.where(ok, lin, -1)
+    u = jax.lax.shift_right_arithmetic(lin, jnp.int32(7))  # (B, 1); -1 stays -1
+    v = lin & 127
+
+    iota_u = jax.lax.broadcasted_iota(i32, (block, w1), 1)
+    iota_v = jax.lax.broadcasted_iota(i32, (block, 128), 1)
+    U = (u == iota_u).astype(i32)                     # all-zero row if masked
+    V = (v == iota_v).astype(jnp.int8)
+
+    # cell-relative centered frac, 2 balanced int8 digits per axis
+    leaf3 = jnp.where(lane3 == 2, leaf_z, leaf_xy).astype(f32)
+    s3 = jnp.where(
+        lane3 == 2, float(1 << _FXP_Z), float(1 << _FXP_XY)
+    ).astype(f32)
+    cell0 = (i3 + b3).astype(f32) * leaf3             # same product as recon
+    frac = p - cell0 - 0.5 * leaf3                    # in [-leaf/2, leaf/2)
+    fq = jnp.round(jnp.where(ok, frac, 0.0) * s3).astype(i32)
+    d0 = ((fq + 128) & 255) - 128
+    d1 = jax.lax.shift_right_arithmetic(fq - d0, jnp.int32(8))
+    digs = [
+        d0[:, 0:1], d1[:, 0:1],
+        d0[:, 1:2], d1[:, 1:2],
+        d0[:, 2:3], d1[:, 2:3],
+        ok.astype(i32),
+    ]
+
+    for c in range(7):
+        # int8 elementwise mul is not legal in Mosaic (arith.muli on i8);
+        # mask in i32 and narrow for the MXU
+        Xc = (U * digs[c]).astype(jnp.int8)           # (B, w1) int8
+        acc_c = jax.lax.dot_general(
+            Xc, V, (((0,), (0,)), ((), ())), preferred_element_type=i32
+        )                                             # (w1, 128) i32
+
+        @pl.when(b == 0)
+        def _():
+            out_ref[c] = acc_c
+
+        @pl.when(b > 0)
+        def _():
+            out_ref[c] = out_ref[c] + acc_c
+
+
+def _accumulate_pallas_v3(
+    points: jnp.ndarray,   # (N, 3) f32 RAW frame points
+    mask: jnp.ndarray,     # (N,) or (N, 1) validity; nonzero = keep
+    scene: SceneBounds,
+    leaf_xy: float,
+    leaf_z: float,
+    block: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """(4, n_cells) channel-major accumulator via the int8 fixed-point
+    kernel.  Sums are bit-deterministic (integer digit accumulation);
+    centroids agree with the f32 paths to ~1e-6 (xy) / ~3e-5 (z)."""
+    gx, gy, gz = grid_shape(scene, leaf_xy, leaf_z)
+    gyz = gy * gz
+    n_cells = gx * gy * gz
+    w1 = -(-n_cells // 128)
+    bx = math.floor(scene.x_min / leaf_xy)
+    by = math.floor(scene.y_min / leaf_xy)
+    bz = math.floor(scene.z_min / leaf_z)
+    n = points.shape[0]
+
+    out = pl.pallas_call(
+        functools.partial(
+            _acc_kernel_v3,
+            block=block,
+            gx=gx,
+            gy=gy,
+            gz=gz,
+            gyz=gyz,
+            w1=w1,
+            inv_xy=float(1.0 / leaf_xy),
+            inv_z=float(1.0 / leaf_z),
+            leaf_xy=float(leaf_xy),
+            leaf_z=float(leaf_z),
+            bx=bx,
+            by=by,
+            bz=bz,
+        ),
+        grid=(n // block,),
+        in_specs=[
+            pl.BlockSpec((block, 3), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, 1), lambda b: (b, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (7, w1, 128), lambda b: (0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((7, w1, 128), jnp.int32),
+        interpret=interpret,
+    )(points.astype(jnp.float32), mask.astype(jnp.float32).reshape(n, 1))
+
+    S = out.reshape(7, w1 * 128)[:, :n_cells].astype(jnp.float32)
+    idx = jnp.arange(n_cells, dtype=jnp.int32)
+    ix = idx % gx
+    iyz = idx // gx
+    iy = iyz % gy
+    iz = iyz // gy
+    cnt = S[6]
+    # cell centers use the SAME f32 products as the kernel's cell0 + leaf/2
+    cx = (bx + ix).astype(jnp.float32) * jnp.float32(leaf_xy)
+    cy = (by + iy).astype(jnp.float32) * jnp.float32(leaf_xy)
+    cz = (bz + iz).astype(jnp.float32) * jnp.float32(leaf_z)
+    inv_xyq = jnp.float32(1.0 / (1 << _FXP_XY))
+    inv_zq = jnp.float32(1.0 / (1 << _FXP_Z))
+    half_xy = jnp.float32(0.5 * leaf_xy)
+    half_z = jnp.float32(0.5 * leaf_z)
+    sx = cnt * (cx + half_xy) + (S[0] + 256.0 * S[1]) * inv_xyq
+    sy = cnt * (cy + half_xy) + (S[2] + 256.0 * S[3]) * inv_xyq
+    sz = cnt * (cz + half_z) + (S[4] + 256.0 * S[5]) * inv_zq
+    return jnp.stack([sx, sy, sz, cnt], axis=0)       # (4, n_cells)
 
 
 def _accumulate_pallas(

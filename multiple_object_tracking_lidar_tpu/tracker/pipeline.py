@@ -120,7 +120,13 @@ class Tracker:
         """Specialize the step on a fixed map: the map env and the per-cell
         static table are staged on device ONCE and passed as arguments each
         dispatch, and the track state is donated.  Re-bind on map updates
-        (rare).  Returns ``step(state, frame) -> (state, output)``."""
+        (rare).  Returns ``step(state, frame) -> (state, output)``.
+
+        (Pinning linear param layouts via jax.experimental.layout to remove
+        the two ~38 us operand relayout copies in front of the accumulator
+        was tried and measured a wash — the copies just turn into an async
+        resharding or an external identity program — so the default layouts
+        stay.)"""
         cfg, gains = self.config, self.gains_xy
         env_dev, table_dev = self._env_args(env)
         step = jax.jit(
