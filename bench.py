@@ -2,7 +2,8 @@
 
 Prints ONE JSON line:
   {"metric": "clouds_per_sec_100k_pts", "value": N, "unit": "clouds/s",
-   "vs_baseline": N/1000}
+   "vs_baseline": N/1000, "single_frame_clouds_per_sec": ...,
+   "dense_scene": {...}, ...}
 
 Baseline context (BASELINE.md): the reference is designed for 10 Hz on CPU
 (<= 100 ms/frame); this repo's north-star is >= 1000 clouds/sec per TPU chip
@@ -10,25 +11,134 @@ at 100k pts/frame.  The measurement drives the full fused step (voxel ->
 static mask -> cluster -> circumcenter -> associate -> IHGP) with the track
 state donated and frames pre-staged on device, cycling through a ring of
 distinct frames so no stage is constant-folded.
+
+Two workloads are reported (VERDICT r1: the headline must not be a
+capacity-tuned number):
+
+* headline — the realistic wall-dominated scene (3 moving objects, 97%
+  static returns);
+* dense_scene — 40 objects + a dense unmapped-returns band: ~2.5x the
+  round-1 m_max_dynamic cap in dynamic voxels (bounded by the sim map's
+  free-space area, ~3k cells); the dense-grid clustering path has no
+  dynamic-point capacity, so this runs with zero truncation.
 """
 
 from __future__ import annotations
 
 import json
 import time
-from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 
+def _stage_frames(sc, n_pts, n_ring):
+    from multiple_object_tracking_lidar_tpu.tracker.state import Frame
+
+    frames = []
+    for k in range(n_ring):
+        pts, t = sc.frame_arrays(k)
+        buf = np.zeros((n_pts, 3), np.float32)
+        buf[: len(pts)] = pts[:n_pts]
+        mask = np.zeros(n_pts, bool)
+        mask[: min(len(pts), n_pts)] = True
+        frames.append(
+            Frame(
+                points=jax.device_put(jnp.asarray(buf)),
+                mask=jax.device_put(jnp.asarray(mask)),
+                t=jnp.float32(t),
+            )
+        )
+    return frames
+
+
+def _run_case(cfg, env, sc, n_ring=8, n_scans=25):
+    """Compile + measure one workload.  Returns (clouds/s multi, clouds/s
+    single, stats dict from the capacity-honesty pass)."""
+    from multiple_object_tracking_lidar_tpu.tracker.pipeline import Tracker
+    from multiple_object_tracking_lidar_tpu.tracker.state import Frame
+
+    tracker = Tracker(cfg)
+    frames = _stage_frames(sc, cfg.caps.n_max_points, n_ring)
+    step = tracker.bind_env_multi(env)
+    frames_stacked = Frame(
+        points=jnp.stack([f.points for f in frames]),
+        mask=jnp.stack([f.mask for f in frames]),
+        t=jnp.stack([f.t for f in frames]),
+    )
+
+    state = tracker.init_state()
+    for _ in range(2):
+        state, out = step(state, frames_stacked)
+    jax.block_until_ready(out)
+
+    # capacity honesty: the run must be overflow/truncation-free at these
+    # capacities or the number is invalid (VERDICT r1)
+    state_chk = tracker.init_state()
+    state_chk, out_chk = step(state_chk, frames_stacked)
+    out_chk = jax.tree.map(np.asarray, out_chk)
+    assert int(out_chk.overflow.sum()) == 0, "track-bank overflow during bench"
+    if cfg.cluster_backend != "grid":
+        # the grid path has no dynamic-point capacity at all
+        assert int(out_chk.n_dynamic.max()) <= cfg.caps.m_max_dynamic, (
+            f"dynamic-voxel truncation: {int(out_chk.n_dynamic.max())} > "
+            f"{cfg.caps.m_max_dynamic}"
+        )
+    assert int(out_chk.n_clusters.max()) <= cfg.caps.c_max_clusters, (
+        "cluster-slot truncation during bench"
+    )
+    assert int(out_chk.n_voxels.max()) <= cfg.caps.m_max_voxels, (
+        "voxel truncation during bench"
+    )
+    stats = {
+        "n_dynamic_max": int(out_chk.n_dynamic.max()),
+        "n_clusters_max": int(out_chk.n_clusters.max()),
+        "n_voxels_max": int(out_chk.n_voxels.max()),
+        "overflow": 0,
+    }
+
+    # timed: n_scans async dispatches of the n_ring-frame scan.  At this
+    # batch size the wall time is DEVICE-BOUND: back-to-back executions
+    # measure <2 us apart on-device, host enqueue is ~0.1 ms/dispatch, and
+    # the wall number reconciles with the xplane device profile once the
+    # trace clock's ~17% optimism is accounted for (docs/PERFORMANCE.md) —
+    # longer scans and single-dispatch loop programs measure the same.
+    best = float("inf")
+    for _ in range(3):
+        state = tracker.init_state()
+        t0 = time.perf_counter()
+        for _ in range(n_scans):
+            state, out = step(state, frames_stacked)
+        jax.block_until_ready(out)
+        best = min(best, time.perf_counter() - t0)
+    multi_cps = (n_scans * n_ring) / best
+
+    # single-frame dispatch (the node's default bind_env path): dispatches
+    # queued asynchronously so the number is device throughput of the
+    # single-frame program, not tunnel RTT
+    step1 = tracker.bind_env(env)
+    state1 = tracker.init_state()
+    for f in frames[:2]:
+        state1, out1 = step1(state1, f)
+    jax.block_until_ready(out1)
+    n_single = 100
+    best1 = float("inf")
+    for _ in range(3):
+        state1 = tracker.init_state()
+        t0 = time.perf_counter()
+        for i in range(n_single):
+            state1, out1 = step1(state1, frames[i % n_ring])
+        jax.block_until_ready(out1)
+        best1 = min(best1, time.perf_counter() - t0)
+    single_cps = n_single / best1
+    return multi_cps, single_cps, stats
+
+
 def main() -> None:
     from __graft_entry__ import _bench_config
     from multiple_object_tracking_lidar_tpu.io.scenario import Scenario, ScenarioObject
     from multiple_object_tracking_lidar_tpu.ops.static_mask import build_static_mask
-    from multiple_object_tracking_lidar_tpu.tracker.pipeline import Tracker
-    from multiple_object_tracking_lidar_tpu.tracker.state import Frame
     from multiple_object_tracking_lidar_tpu.utils.pgm import load_map_yaml
     import os
     import subprocess
@@ -44,14 +154,11 @@ def main() -> None:
     grid = load_map_yaml(ymap)
 
     cfg = _bench_config()
-    n_pts = cfg.caps.n_max_points  # 131072 staged; 100k valid per frame
     n_valid = 100_000
-
-    tracker = Tracker(cfg)
     env = build_static_mask(grid, cfg.static_tolarance, cfg.occupied_threshold)
 
-    # a realistic 100k-pt LiDAR frame mix: mostly static wall returns, three
-    # moving objects, some free-space clutter
+    # headline: a realistic 100k-pt LiDAR frame mix — mostly static wall
+    # returns, three moving objects, some free-space clutter
     sc = Scenario(
         grid=grid,
         objects=[
@@ -63,96 +170,71 @@ def main() -> None:
         clutter_points=300,  # sparse: clutter must not bridge object clusters
         seed=123,
     )
+    multi_cps, single_cps, stats = _run_case(cfg, env, sc)
 
-    n_ring = 8
-    frames = []
-    for k in range(n_ring):
-        pts, t = sc.frame_arrays(k)
-        buf = np.zeros((n_pts, 3), np.float32)
-        buf[: len(pts)] = pts[:n_pts]
-        mask = np.zeros(n_pts, bool)
-        mask[: min(len(pts), n_pts)] = True
-        frames.append(
-            Frame(
-                points=jax.device_put(jnp.asarray(buf)),
-                mask=jax.device_put(jnp.asarray(mask)),
-                t=jnp.float32(t),
+    # dense-dynamic scene (VERDICT r1 item 3): 36 moving objects in the
+    # south + a dense unmapped-returns band in the north (its giant
+    # connected blob exceeds max_cluster_size, so it is size-filtered like
+    # PCL would — no track births — but every cell still runs through the
+    # full dense-grid clustering).  Thousands of dynamic voxels, zero
+    # capacity truncation on the grid path.
+    rng = np.random.default_rng(7)
+    objs = []
+    for i in range(40):
+        gx_i, gy_i = i % 8, i // 8
+        objs.append(
+            ScenarioObject(
+                x0=-1.93 + 0.55 * gx_i,
+                y0=0.2 + 1.06 * gy_i,
+                vx=float(rng.uniform(-0.25, 0.25)),
+                vy=float(rng.uniform(-0.25, 0.25)),
+                points_per_frame=130,
+                radius=0.30,
             )
         )
-
-    # map baked in as a compiled constant, state donated; 8 consecutive
-    # frames of the stream per dispatch (lax.scan — identical state chain,
-    # amortizes per-dispatch host/RPC overhead)
-    step = tracker.bind_env_multi(env)
-    frames_stacked = Frame(
-        points=jnp.stack([f.points for f in frames]),
-        mask=jnp.stack([f.mask for f in frames]),
-        t=jnp.stack([f.t for f in frames]),
+    n_obj_pts = 40 * 130
+    n_clutter = 9000
+    sc_dense = Scenario(
+        grid=grid,
+        objects=objs,
+        static_points_per_frame=n_valid - n_obj_pts - n_clutter,
+        clutter_points=n_clutter,
+        clutter_bounds=(-2.2, 2.3, 6.3, 9.3),  # north band, clear of objects
+        clutter_z=(0.0, 2.0),                  # both z-slabs
+        seed=321,
     )
+    import dataclasses
+    from multiple_object_tracking_lidar_tpu.config import SceneBounds
 
-    # warmup / compile
-    state = tracker.init_state()
-    for _ in range(2):
-        state, out = step(state, frames_stacked)
-    jax.block_until_ready(out)
-
-    # capacity honesty: the run must be overflow-free at these capacities or
-    # the headline number is invalid (VERDICT r1 §weak-2)
-    state_chk = tracker.init_state()
-    state_chk, out_chk = step(state_chk, frames_stacked)
-    out_chk = jax.tree.map(np.asarray, out_chk)
-    assert int(out_chk.overflow.sum()) == 0, "track-bank overflow during bench"
-    assert int(out_chk.n_dynamic.max()) <= cfg.caps.m_max_dynamic, (
-        f"dynamic-voxel truncation: {int(out_chk.n_dynamic.max())} > "
-        f"{cfg.caps.m_max_dynamic}"
+    cfg_dense = cfg.replace(
+        caps=dataclasses.replace(cfg.caps, c_max_clusters=64, k_max_tracks=96),
+        # taller working volume: the unmapped-returns band fills both
+        # z-slabs to maximize dynamic-cell count
+        scene=SceneBounds(
+            x_min=-2.4, x_max=2.5, y_min=-1.5, y_max=9.4, z_min=0.0, z_max=2.0
+        ),
     )
-    assert int(out_chk.n_clusters.max()) <= cfg.caps.c_max_clusters, (
-        "cluster-slot truncation during bench"
+    env_dense = build_static_mask(
+        grid, cfg_dense.static_tolarance, cfg_dense.occupied_threshold
     )
-    assert int(out_chk.n_voxels.max()) <= cfg.caps.m_max_voxels, (
-        "voxel truncation during bench"
-    )
-
-    # timed: best of a few repeats (remote-dispatch jitter)
-    n_scans = 25
-    best = float("inf")
-    for _ in range(3):
-        state = tracker.init_state()
-        t0 = time.perf_counter()
-        for _ in range(n_scans):
-            state, out = step(state, frames_stacked)
-        jax.block_until_ready(out)
-        best = min(best, time.perf_counter() - t0)
-    clouds_per_sec = (n_scans * n_ring) / best
-
-    # single-frame dispatch (the node's default bind_env path): same program
-    # the TrackerNode runs, dispatches queued asynchronously so the number is
-    # device throughput of the single-frame program, not tunnel RTT
-    step1 = tracker.bind_env(env)
-    state1 = tracker.init_state()
-    for f in frames[:2]:
-        state1, out1 = step1(state1, f)
-    jax.block_until_ready(out1)
-    n_single = 100
-    best1 = float("inf")
-    for _ in range(3):
-        state1 = tracker.init_state()
-        t0 = time.perf_counter()
-        for i in range(n_single):
-            state1, out1 = step1(state1, frames[i % n_ring])
-        jax.block_until_ready(out1)
-        best1 = min(best1, time.perf_counter() - t0)
-    single_clouds_per_sec = n_single / best1
+    dense_cps, dense_single, dense_stats = _run_case(cfg_dense, env_dense, sc_dense)
 
     print(
         json.dumps(
             {
                 "metric": "clouds_per_sec_100k_pts",
-                "value": round(clouds_per_sec, 2),
+                "value": round(multi_cps, 2),
                 "unit": "clouds/s",
-                "vs_baseline": round(clouds_per_sec / 1000.0, 4),
-                "single_frame_clouds_per_sec": round(single_clouds_per_sec, 2),
-                "overflow": 0,
+                "vs_baseline": round(multi_cps / 1000.0, 4),
+                "single_frame_clouds_per_sec": round(single_cps, 2),
+                **stats,
+                "dense_scene": {
+                    "clouds_per_sec": round(dense_cps, 2),
+                    "single_frame_clouds_per_sec": round(dense_single, 2),
+                    **dense_stats,
+                },
+                "scene": [cfg.scene.x_min, cfg.scene.x_max, cfg.scene.y_min,
+                          cfg.scene.y_max, cfg.scene.z_min, cfg.scene.z_max],
                 "capacities": {
                     "n_max_points": cfg.caps.n_max_points,
                     "m_max_voxels": cfg.caps.m_max_voxels,

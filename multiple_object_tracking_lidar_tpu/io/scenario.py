@@ -67,6 +67,7 @@ class Scenario:
     # optional uniform clutter to stress point capacity (e.g. 100k-pt bench)
     clutter_points: int = 0
     clutter_bounds: tuple[float, float, float, float] = (-2.0, 2.0, -1.0, 9.0)
+    clutter_z: tuple[float, float] = (0.0, 1.0)
 
     def __post_init__(self) -> None:
         self._rng = np.random.default_rng(self.seed)
@@ -125,7 +126,7 @@ class Scenario:
                 [
                     rng.uniform(x0, x1, self.clutter_points),
                     rng.uniform(y0, y1, self.clutter_points),
-                    rng.uniform(0.0, 1.0, self.clutter_points),
+                    rng.uniform(*self.clutter_z, self.clutter_points),
                 ],
                 axis=1,
             ).astype(np.float32)

@@ -1,0 +1,167 @@
+"""Pallas TPU kernel: per-cluster circumcenter features, VMEM-resident.
+
+The XLA lowering of `ops.centroid.circumcenter_features_table` materializes
+the (C, P, P) pairwise-distance tensor in HBM (~19 MB at bench shapes) and
+reads it back through the max/argmax reductions — ~90 us/frame of pure HBM
+traffic for ~1 MB of useful input.  This kernel runs the whole farthest-pair
++ farthest-from-line + circumcenter chain (ref getCentroid,
+src/multiple_object_tracking_lidar.cpp:708-822) with the per-cluster (P, P)
+distance matrix living only in VMEM: the streamed input is just the member
+table itself.
+
+Semantics match the jnp path: same centered-gram d2, same first-maximum
+tie-breaks (row-major lexicographic (i, j) — the reference's strict->
+update rule), same value-equality skip for the third point, same G==0
+collinear fallback.  In-cluster f32 reduction order may differ from XLA's
+at the ulp level (documented; the parity test allows it).
+
+Layout notes: Mosaic transposes are relayouts, so the host passes each
+cluster's members in BOTH orientations ((P, 3) sublane-major for the gram
+lhs, (3, P) lane-major for row broadcasts) and the mask likewise; the
+duplicated operands total ~300 KB per frame.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _one(mp, mpt, mm_row, mm_col, p):
+    """mp (P,3), mpt (3,P), mm_row (1,P), mm_col (P,1) 0/1 f32 -> scalars."""
+    f32 = jnp.float32
+    n_m = jnp.sum(mm_row)
+    cnt = jnp.maximum(n_m, 1.0)
+    any_m = (n_m > 0.0).astype(f32)
+
+    # --- 1. farthest 3-D pair via the centered gram (cpp:731-759) ---
+    c_row = any_m * jnp.sum(mp * mm_col, axis=0, keepdims=True) / cnt  # (1,3)
+    cxs, cys, czs = c_row[0, 0], c_row[0, 1], c_row[0, 2]
+    i31 = jax.lax.broadcasted_iota(jnp.int32, (3, 1), 0)
+    c_col = jnp.where(i31 == 0, cxs, jnp.where(i31 == 1, cys, czs))    # (3,1)
+    pc = (mp - c_row) * mm_col                                         # (P,3)
+    pct = (mpt - c_col) * mm_row                                       # (3,P)
+    sq_col = jnp.sum(pc * pc, axis=1, keepdims=True)                   # (P,1)
+    sq_row = jnp.sum(pct * pct, axis=0, keepdims=True)                 # (1,P)
+    gram = jax.lax.dot_general(
+        pc, pct, (((1,), (0,)), ((), ())),
+        preferred_element_type=f32,
+        precision=jax.lax.Precision.HIGHEST,
+    )                                                                  # (P,P)
+    d2 = sq_col + sq_row - 2.0 * gram
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (p, p), 0)
+    coli = jax.lax.broadcasted_iota(jnp.int32, (p, p), 1)
+    pair_ok = (mm_col > 0.0) & (mm_row > 0.0) & (rowi < coli)
+    d2m = jnp.where(pair_ok, d2, -1.0)
+    # first lexicographic (i, j) maximum == (first max row, first max col)
+    row_max = jnp.max(d2m, axis=1, keepdims=True)                      # (P,1)
+    row_arg = jnp.min(
+        jnp.where(d2m == row_max, coli, p), axis=1, keepdims=True
+    )                                                                  # (P,1)
+    gmax = jnp.max(row_max)
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
+    i_star = jnp.min(jnp.where(row_max == gmax, iota_c, p))            # scalar
+    oh_i = (iota_c == i_star).astype(jnp.float32)                      # (P,1)
+    j_star = jnp.sum(oh_i * row_arg.astype(jnp.float32)).astype(jnp.int32)
+    oh_j = (iota_c == j_star).astype(jnp.float32)
+    # row extraction via one-hot reduction (dynamic_slice on values is not
+    # lowerable in Mosaic): exact — exactly one nonzero term
+    pi = jnp.sum(mp * oh_i, axis=0, keepdims=True)                     # (1,3)
+    pj = jnp.sum(mp * oh_j, axis=0, keepdims=True)
+    pix, piy, piz = pi[0, 0], pi[0, 1], pi[0, 2]
+    pjx, pjy, pjz = pj[0, 0], pj[0, 1], pj[0, 2]
+
+    # --- 2. farthest point from the PiPj line in XY (cpp:763-784) ---
+    ex = pjx - pix
+    ey = pjy - piy
+    xs, ys, zs = mpt[0:1, :], mpt[1:2, :], mpt[2:3, :]
+    cross = jnp.abs(ex * (ys - piy) - ey * (xs - pix))                 # (1,P)
+    norm = jnp.sqrt(ex * ex + ey * ey)
+    line_d = cross / jnp.maximum(norm, jnp.float32(1e-30))
+    eq_i = (xs == pix) & (ys == piy) & (zs == piz)
+    eq_j = (xs == pjx) & (ys == pjy) & (zs == pjz)
+    k_mask = (mm_row > 0.0) & ~eq_i & ~eq_j
+    ld = jnp.where(k_mask, line_d, -1.0)                               # (1,P)
+    ld_max = jnp.max(ld)
+    lane_p = jax.lax.broadcasted_iota(jnp.int32, (1, p), 1)
+    k_star = jnp.min(jnp.where(ld == ld_max, lane_p, p))               # scalar
+    oh_k = (lane_p == k_star).astype(jnp.float32)                      # (1,P)
+    pk = jnp.sum(mpt * oh_k, axis=1, keepdims=True)                    # (3,1)
+    pkx, pky = pk[0, 0], pk[1, 0]
+
+    # --- 3. circumcenter determinant formula (cpp:787-809) ---
+    a = pjx - pix
+    b = pjy - piy
+    c = pkx - pix
+    d = pky - piy
+    e = a * (pix + pjx) + b * (piy + pjy)
+    f = c * (pix + pkx) + d * (piy + pky)
+    g = 2.0 * (a * (pky - pjy) - b * (pkx - pjx))
+    collinear = g == 0.0
+    g_safe = jnp.where(collinear, 1.0, g)
+    cx = jnp.where(collinear, pix, (d * e - b * f) / g_safe)
+    cy = jnp.where(collinear, piy, (a * f - c * e) / g_safe)
+    return cx, cy
+
+
+def _kernel(mp_ref, mpt_ref, mmr_ref, mmc_ref, out_ref, *, cb, p):
+    for ci in range(cb):
+        cx, cy = _one(
+            mp_ref[ci],                  # (P, 3)
+            mpt_ref[ci],                 # (3, P)
+            mmr_ref[ci : ci + 1, :],     # (1, P)
+            mmc_ref[ci],                 # (P, 1)
+            p,
+        )
+        lane2 = jax.lax.broadcasted_iota(jnp.int32, (1, 2), 1)
+        out_ref[ci : ci + 1, :] = jnp.where(lane2 == 0, cx, cy)
+
+
+def circumcenter_xy_pallas(
+    mpts: jax.Array,         # (C, P, 3) f32 member table
+    member_mask: jax.Array,  # (C, P) bool
+    cb: int = 4,
+    interpret: bool = False,
+) -> jax.Array:
+    """(C, 2) circumcenter xy per cluster (garbage rows where no members)."""
+    c, p, _ = mpts.shape
+    # Mosaic block rule: trailing block dims must be 8/128-divisible or
+    # equal the full array dims — 8 clusters/step, or one whole-array block
+    cb = 8 if c % 8 == 0 else c
+    mpts = mpts.astype(jnp.float32)
+    mpt_t = jnp.swapaxes(mpts, 1, 2)                         # (C, 3, P)
+    mm_r = member_mask.astype(jnp.float32)                   # (C, P)
+    mm_c = mm_r[:, :, None]                                  # (C, P, 1)
+
+    return pl.pallas_call(
+        functools.partial(_kernel, cb=cb, p=p),
+        grid=(c // cb,),
+        in_specs=[
+            pl.BlockSpec((cb, p, 3), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((cb, 3, p), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((cb, p), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((cb, p, 1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((cb, 2), lambda b: (b, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((c, 2), jnp.float32),
+        interpret=interpret,
+    )(mpts, mpt_t, mm_r, mm_c)
+
+
+def circumcenter_features_table_pallas(
+    mpts: jax.Array,
+    member_mask: jax.Array,
+    t: jax.Array,
+    interpret: bool = False,
+) -> jax.Array:
+    """Drop-in for ops.centroid.circumcenter_features_table: (C, 4)
+    [x, y, 0, t] detections."""
+    c = mpts.shape[0]
+    xy = circumcenter_xy_pallas(mpts, member_mask, interpret=interpret)
+    zeros = jnp.zeros((c, 1), jnp.float32)
+    tcol = jnp.full((c, 1), t, jnp.float32)
+    return jnp.concatenate([xy, zeros, tcol], axis=1).astype(mpts.dtype)

@@ -343,6 +343,33 @@ def _acc_kernel_v3(
     pts_ref, msk_ref, out_ref, *, block, gx, gy, gz, gyz, w1,
     inv_xy, inv_z, leaf_xy, leaf_z, bx, by, bz
 ):
+    _acc_v3_body(
+        pts_ref[...], msk_ref[...], out_ref, (), pl.program_id(0) == 0,
+        block=block, gx=gx, gy=gy, gz=gz, w1=w1, inv_xy=inv_xy, inv_z=inv_z,
+        leaf_xy=leaf_xy, leaf_z=leaf_z, bx=bx, by=by, bz=bz,
+    )
+
+
+def _acc_kernel_v3_stacked(
+    pts_ref, msk_ref, out_ref, *, block, gx, gy, gz, gyz, w1,
+    inv_xy, inv_z, leaf_xy, leaf_z, bx, by, bz
+):
+    """Batched variant: grid (S, N//block); one revolving output per frame.
+    Accumulating ALL frames of a scan dispatch in ONE call keeps the big
+    (S, N, 3) operand's tiled->linear relayout loop-invariant (XLA hoists
+    it out of the scan) instead of paying ~110 us of per-frame slice+copy
+    inside the sequential chain (trace-measured)."""
+    _acc_v3_body(
+        pts_ref[0], msk_ref[0], out_ref, (0,), pl.program_id(1) == 0,
+        block=block, gx=gx, gy=gy, gz=gz, w1=w1, inv_xy=inv_xy, inv_z=inv_z,
+        leaf_xy=leaf_xy, leaf_z=leaf_z, bx=bx, by=by, bz=bz,
+    )
+
+
+def _acc_v3_body(
+    p, m, out_ref, lead, first, *, block, gx, gy, gz, w1,
+    inv_xy, inv_z, leaf_xy, leaf_z, bx, by, bz
+):
     """int8 fixed-point histogram step.  Design notes (all trace-measured):
 
     * the flat cell index factors as ``lin = 128*u + v`` (NOT the (gx, gyz)
@@ -367,8 +394,6 @@ def _acc_kernel_v3(
       all-zero (u = -1 matches nothing), so garbage digits from
       i32-overflowing sentinel coords contribute exactly 0.
     """
-    b = pl.program_id(0)
-    p = pts_ref[...]                                  # (B, 3) f32
     f32 = jnp.float32
     i32 = jnp.int32
     lane3 = jax.lax.broadcasted_iota(i32, (block, 3), 1)
@@ -381,7 +406,7 @@ def _acc_kernel_v3(
     ).astype(i32)
     i3 = jnp.floor(p * inv3).astype(i32) - b3         # (B, 3)
     ok3 = (i3 >= 0) & (i3 < g3) & (p == p)            # NaN coords drop here
-    ok = jnp.all(ok3, axis=1, keepdims=True) & (msk_ref[...] > 0.0)  # (B, 1)
+    ok = jnp.all(ok3, axis=1, keepdims=True) & (m > 0.0)  # (B, 1)
 
     lin = i3[:, 0:1] + gx * (i3[:, 1:2] + gy * i3[:, 2:3])
     lin = jnp.where(ok, lin, -1)
@@ -417,14 +442,15 @@ def _acc_kernel_v3(
         acc_c = jax.lax.dot_general(
             Xc, V, (((0,), (0,)), ((), ())), preferred_element_type=i32
         )                                             # (w1, 128) i32
+        at = lead + (c,)
 
-        @pl.when(b == 0)
+        @pl.when(first)
         def _():
-            out_ref[c] = acc_c
+            out_ref[at] = acc_c
 
-        @pl.when(b > 0)
+        @pl.when(jnp.logical_not(first))
         def _():
-            out_ref[c] = out_ref[c] + acc_c
+            out_ref[at] = out_ref[at] + acc_c
 
 
 def _accumulate_pallas_v3(
@@ -496,6 +522,88 @@ def _accumulate_pallas_v3(
     sy = cnt * (cy + half_xy) + (S[2] + 256.0 * S[3]) * inv_xyq
     sz = cnt * (cz + half_z) + (S[4] + 256.0 * S[5]) * inv_zq
     return jnp.stack([sx, sy, sz, cnt], axis=0)       # (4, n_cells)
+
+
+def _accumulate_pallas_v3_stacked(
+    points: jnp.ndarray,   # (S, N, 3) f32 RAW stacked frame points
+    mask: jnp.ndarray,     # (S, N) validity; nonzero = keep
+    scene: SceneBounds,
+    leaf_xy: float,
+    leaf_z: float,
+    block: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """(S, 4, n_cells) channel-major accumulators for a whole frame stack in
+    ONE kernel call (see _acc_kernel_v3_stacked).  Per-frame results are
+    bit-identical to _accumulate_pallas_v3.
+
+    NB: the stacked grid double-buffers input blocks across the frame
+    boundary too — block=4096 exceeds the 16 MB scoped-VMEM limit here
+    (18.5 MB measured) even though the single-frame kernel fits; cap at
+    2048."""
+    block = min(block, 2048)
+    gx, gy, gz = grid_shape(scene, leaf_xy, leaf_z)
+    n_cells = gx * gy * gz
+    w1 = -(-n_cells // 128)
+    bx = math.floor(scene.x_min / leaf_xy)
+    by = math.floor(scene.y_min / leaf_xy)
+    bz = math.floor(scene.z_min / leaf_z)
+    s, n = points.shape[0], points.shape[1]
+
+    out = pl.pallas_call(
+        functools.partial(
+            _acc_kernel_v3_stacked,
+            block=block,
+            gx=gx,
+            gy=gy,
+            gz=gz,
+            gyz=gy * gz,
+            w1=w1,
+            inv_xy=float(1.0 / leaf_xy),
+            inv_z=float(1.0 / leaf_z),
+            leaf_xy=float(leaf_xy),
+            leaf_z=float(leaf_z),
+            bx=bx,
+            by=by,
+            bz=bz,
+        ),
+        grid=(s, n // block),
+        in_specs=[
+            pl.BlockSpec(
+                (1, block, 3), lambda si, b: (si, b, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, block, 1), lambda si, b: (si, b, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 7, w1, 128), lambda si, b: (si, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((s, 7, w1, 128), jnp.int32),
+        interpret=interpret,
+    )(
+        points.astype(jnp.float32),
+        mask.astype(jnp.float32).reshape(s, n, 1),
+    )
+
+    Sd = out.reshape(s, 7, w1 * 128)[:, :, :n_cells].astype(jnp.float32)
+    idx = jnp.arange(n_cells, dtype=jnp.int32)
+    ix = idx % gx
+    iyz = idx // gx
+    iy = iyz % gy
+    iz = iyz // gy
+    cnt = Sd[:, 6]
+    cx = (bx + ix).astype(jnp.float32) * jnp.float32(leaf_xy)
+    cy = (by + iy).astype(jnp.float32) * jnp.float32(leaf_xy)
+    cz = (bz + iz).astype(jnp.float32) * jnp.float32(leaf_z)
+    inv_xyq = jnp.float32(1.0 / (1 << _FXP_XY))
+    inv_zq = jnp.float32(1.0 / (1 << _FXP_Z))
+    half_xy = jnp.float32(0.5 * leaf_xy)
+    half_z = jnp.float32(0.5 * leaf_z)
+    sx = cnt * (cx + half_xy)[None] + (Sd[:, 0] + 256.0 * Sd[:, 1]) * inv_xyq
+    sy = cnt * (cy + half_xy)[None] + (Sd[:, 2] + 256.0 * Sd[:, 3]) * inv_xyq
+    sz = cnt * (cz + half_z)[None] + (Sd[:, 4] + 256.0 * Sd[:, 5]) * inv_zq
+    return jnp.stack([sx, sy, sz, cnt], axis=1)       # (S, 4, n_cells)
 
 
 def _accumulate_pallas(

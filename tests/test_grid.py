@@ -563,3 +563,60 @@ def test_v3_accumulator_matches_jnp(rng):
         block=512, interpret=True,
     )
     np.testing.assert_array_equal(np.asarray(got), np.asarray(got2))
+
+
+def test_centroid_pallas_matches_table_path(rng):
+    """The VMEM circumcenter kernel (interpret) == the jnp table path on
+    grid-like coordinates (exact tie-break agreement)."""
+    from multiple_object_tracking_lidar_tpu.ops.centroid import (
+        circumcenter_features_table,
+    )
+    from multiple_object_tracking_lidar_tpu.ops.centroid_pallas import (
+        circumcenter_features_table_pallas,
+    )
+
+    r = np.random.default_rng(5)
+    cc, p = 8, 64
+    mpts = np.zeros((cc, p, 3), np.float32)
+    mm = np.zeros((cc, p), bool)
+    for c in range(cc):
+        n = int(r.integers(0, p))
+        mpts[c, :n] = np.round(r.normal(0, 1, (n, 3)) * 10) / 10
+        mm[c, :n] = True
+    ref = circumcenter_features_table(
+        jnp.asarray(mpts), jnp.asarray(mm), jnp.float32(0.3)
+    )
+    got = circumcenter_features_table_pallas(
+        jnp.asarray(mpts), jnp.asarray(mm), jnp.float32(0.3), interpret=True
+    )
+    ok = mm.any(axis=1)
+    np.testing.assert_allclose(
+        np.asarray(got)[ok], np.asarray(ref)[ok], rtol=0, atol=1e-5
+    )
+
+
+def test_stacked_accumulator_bit_identical(rng):
+    """The batched (S, N, 3) accumulator == the per-frame kernel,
+    bit-for-bit (integer digit sums)."""
+    from multiple_object_tracking_lidar_tpu.ops.voxel_grid import (
+        _accumulate_pallas_v3,
+        _accumulate_pallas_v3_stacked,
+    )
+
+    r = np.random.default_rng(31)
+    s, n = 3, 1024
+    pts = np.stack(
+        [r.uniform(-3, 3, (s, n)), r.uniform(-2, 7, (s, n)), r.uniform(-0.5, 2.5, (s, n))],
+        axis=2,
+    ).astype(np.float32)
+    mask = r.random((s, n)) < 0.9
+    got = _accumulate_pallas_v3_stacked(
+        jnp.asarray(pts), jnp.asarray(mask), SCENE, LEAF, LEAF_Z,
+        block=512, interpret=True,
+    )
+    for k in range(s):
+        ref = _accumulate_pallas_v3(
+            jnp.asarray(pts[k]), jnp.asarray(mask[k]), SCENE, LEAF, LEAF_Z,
+            block=512, interpret=True,
+        )
+        np.testing.assert_array_equal(np.asarray(got[k]), np.asarray(ref))

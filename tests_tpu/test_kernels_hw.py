@@ -1,0 +1,185 @@
+"""On-device parity of every Pallas kernel against its jnp twin."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from multiple_object_tracking_lidar_tpu.config import SceneBounds
+
+SCENE = SceneBounds(x_min=-2.6, x_max=2.6, y_min=-1.6, y_max=9.6, z_min=0.0, z_max=2.0)
+LEAF, LEAF_Z, TOL = 0.1, 2.0, 0.15
+
+
+def _points(rng, n):
+    pts = np.stack(
+        [rng.uniform(-3, 3, n), rng.uniform(-2, 10, n), rng.uniform(-0.5, 2.5, n)],
+        axis=1,
+    ).astype(np.float32)
+    mask = rng.random(n) < 0.9
+    return jnp.asarray(pts), jnp.asarray(mask)
+
+
+def test_v3_accumulator_hw(rng):
+    from multiple_object_tracking_lidar_tpu.ops.voxel_grid import (
+        _accumulate_pallas_v3,
+        voxel_accumulate_onehot_cm,
+    )
+
+    pts, mask = _points(rng, 8192)
+    ref = voxel_accumulate_onehot_cm(pts, mask, SCENE, LEAF, LEAF_Z, use_pallas=False)
+    got = _accumulate_pallas_v3(pts, mask, SCENE, LEAF, LEAF_Z, block=2048)
+    np.testing.assert_array_equal(np.asarray(got[3]), np.asarray(ref[3]))
+    cnt = np.maximum(np.asarray(ref[3]), 1)
+    cd = np.abs(np.asarray(got[:3]) - np.asarray(ref[:3])) / cnt
+    assert cd[:2].max() < 5e-6
+    assert cd[2].max() < 6e-5
+    # bit-determinism on-device: two executions agree exactly
+    got2 = _accumulate_pallas_v3(pts, mask, SCENE, LEAF, LEAF_Z, block=2048)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(got2))
+
+
+def test_fused_finalize_static_cc_hw(rng):
+    from multiple_object_tracking_lidar_tpu.ops.cluster_grid import (
+        connected_components_grid,
+    )
+    from multiple_object_tracking_lidar_tpu.ops.grid_pallas import (
+        fused_finalize_static_cc,
+    )
+    from multiple_object_tracking_lidar_tpu.ops.static_mask import (
+        build_cell_static_table,
+        build_static_mask,
+        remove_static_cells,
+    )
+    from multiple_object_tracking_lidar_tpu.ops.voxel import grid_shape
+    from multiple_object_tracking_lidar_tpu.ops.voxel_grid import (
+        finalize_dense_cm,
+        voxel_accumulate_onehot_cm,
+    )
+    from multiple_object_tracking_lidar_tpu.utils.pgm import load_map_yaml
+    import os
+
+    ymap = os.path.join(os.path.dirname(__file__), "..", "assets", "sim_map.yaml")
+    env = build_static_mask(load_map_yaml(ymap), 4, 50)
+    dims = grid_shape(SCENE, LEAF, LEAF_Z)
+    table = build_cell_static_table(env, SCENE, LEAF, *dims)
+    assert table is not None
+
+    pts, mask = _points(rng, 8192)
+    acc = voxel_accumulate_onehot_cm(pts, mask, SCENE, LEAF, LEAF_Z, use_pallas=False)
+    cent, occ, _ = finalize_dense_cm(acc)
+    dyn = remove_static_cells(cent, occ, jax.device_put(env), jax.device_put(table))
+    lab_ref, _ = connected_components_grid(cent, dyn, dims, TOL, LEAF, LEAF_Z, 64, 4)
+
+    scal = jnp.stack(
+        [env.origin_x, env.origin_y, env.cos_nyaw, env.sin_nyaw,
+         env.inv_resolution, jnp.float32(TOL * TOL)]
+    )
+    cent_k, dyn_k, lab_k, nsw = fused_finalize_static_cc(
+        acc, scal, table.base_row, table.base_col, table.bits,
+        dims=dims, tol=TOL, leaf_xy=LEAF, leaf_z=LEAF_Z, kwin=table.k,
+    )
+    np.testing.assert_array_equal(np.asarray(dyn_k), np.asarray(dyn))
+    np.testing.assert_array_equal(np.asarray(cent_k), np.asarray(cent))
+    np.testing.assert_array_equal(np.asarray(lab_k), np.asarray(lab_ref))
+    assert int(nsw) > 0
+
+
+def test_runs_voxelizer_hw(rng):
+    from multiple_object_tracking_lidar_tpu.ops.voxel import voxel_accumulate
+    from multiple_object_tracking_lidar_tpu.ops.voxel_pallas import (
+        voxel_accumulate_runs_cm,
+    )
+
+    pts, mask = _points(rng, 8192)
+    ref = voxel_accumulate(pts, mask, SCENE, LEAF, LEAF_Z).T
+    got = voxel_accumulate_runs_cm(pts, mask, SCENE, LEAF, LEAF_Z)
+    np.testing.assert_array_equal(np.asarray(got[3]), np.asarray(ref[3]))
+    np.testing.assert_allclose(
+        np.asarray(got[:3]), np.asarray(ref[:3]), rtol=0, atol=2e-5
+    )
+
+
+def test_centroid_kernel_hw(rng):
+    from multiple_object_tracking_lidar_tpu.ops.centroid import (
+        circumcenter_features_table,
+    )
+    from multiple_object_tracking_lidar_tpu.ops.centroid_pallas import (
+        circumcenter_features_table_pallas,
+    )
+
+    cc, p = 32, 384
+    mpts = np.zeros((cc, p, 3), np.float32)
+    mm = np.zeros((cc, p), bool)
+    for c in range(6):
+        n = int(rng.integers(30, 300))
+        mpts[c, :n] = np.round(rng.normal(0, 1, (n, 3)) * 10) / 10
+        mm[c, :n] = True
+    ref = circumcenter_features_table(
+        jnp.asarray(mpts), jnp.asarray(mm), jnp.float32(0.3)
+    )
+    got = circumcenter_features_table_pallas(
+        jnp.asarray(mpts), jnp.asarray(mm), jnp.float32(0.3)
+    )
+    ok = mm.any(axis=1)
+    np.testing.assert_allclose(
+        np.asarray(got)[ok], np.asarray(ref)[ok], rtol=0, atol=1e-5
+    )
+
+
+def test_stacked_multi_equals_per_frame_hw(rng):
+    """bind_env_multi's stacked-accumulate fast path == frame-by-frame
+    bind_env on-device (bit-identical tracking chain)."""
+    import os
+
+    from multiple_object_tracking_lidar_tpu.config import (
+        Capacities,
+        SceneBounds,
+        TrackerConfig,
+    )
+    from multiple_object_tracking_lidar_tpu.ops.static_mask import build_static_mask
+    from multiple_object_tracking_lidar_tpu.tracker.pipeline import Tracker
+    from multiple_object_tracking_lidar_tpu.tracker.state import Frame
+    from multiple_object_tracking_lidar_tpu.utils.pgm import load_map_yaml
+
+    ymap = os.path.join(os.path.dirname(__file__), "..", "assets", "sim_map.yaml")
+    grid = load_map_yaml(ymap)
+    cfg = TrackerConfig(
+        voxel_leaf_size=0.1,
+        data_length=10,
+        cluster_backend="grid",
+        voxel_mode="onehot",
+        scene=SceneBounds(
+            x_min=-2.6, x_max=2.6, y_min=-1.6, y_max=9.6, z_min=0.0, z_max=2.0
+        ),
+        caps=Capacities(
+            n_max_points=2048, m_max_voxels=512, m_max_dynamic=256,
+            c_max_clusters=16, p_max_cluster=64, k_max_tracks=16,
+        ),
+    )
+    env = build_static_mask(grid, cfg.static_tolarance, cfg.occupied_threshold)
+    tracker = Tracker(cfg)
+
+    s, n = 4, 2048
+    pts = np.asarray(rng.normal([0.5, 2.0, 0.5], 0.2, (s, n, 3)), np.float32)
+    frames = Frame(
+        points=jnp.asarray(pts),
+        mask=jnp.ones((s, n), bool),
+        t=jnp.arange(s, dtype=jnp.float32) * 0.1 + 0.1,
+    )
+
+    multi = tracker.bind_env_multi(env, donate_state=False)
+    sm, outs = multi(tracker.init_state(), frames)
+
+    step1 = tracker.bind_env(env, donate_state=False)
+    s1 = tracker.init_state()
+    for k in range(s):
+        s1, out1 = step1(
+            s1,
+            Frame(points=frames.points[k], mask=frames.mask[k], t=frames.t[k]),
+        )
+    np.testing.assert_array_equal(np.asarray(outs.pos[-1]), np.asarray(out1.pos))
+    np.testing.assert_array_equal(np.asarray(outs.vel[-1]), np.asarray(out1.vel))
+    np.testing.assert_array_equal(
+        np.asarray(sm.bank.window), np.asarray(s1.bank.window)
+    )
