@@ -334,7 +334,10 @@ def _perceive_from_dense_acc(
         if table is not None:
             dyn = remove_static_cells(cent, occ, env, table)
         else:
-            dyn = remove_static(cent, occ, env)
+            # one-hot map-lookup fallback (e.g. env is a tracer under
+            # shard_map, so the host-precomputed table is unavailable);
+            # remove_static takes (n, 3) points — cent is channel-major
+            dyn = remove_static(cent.T, occ, env)
 
         centd = cent.astype(dtype)
         labels, n_iters = connected_components_grid(

@@ -68,3 +68,64 @@ def test_dryrun_multichip_entrypoint():
     import __graft_entry__
 
     __graft_entry__.dryrun_multichip(8)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
+def test_giant_cloud_point_sharded_clustering_matches_single_device(fixture_map, rng):
+    """Cross-chip SINGLE-CLOUD clustering (SURVEY §7 P7): one cloud's points
+    sharded over the full 8-device space axis cluster identically to the
+    unsharded single-device step.
+
+    No halo exchange is needed in this design: voxel accumulation is
+    additive, so the one `psum` of the (small, dense) grid IS the complete
+    boundary exchange — the grid-backend clustering then runs on the full
+    global grid on every device, bit-identically to one chip.  This covers
+    the dense-grid backend (capacity-free clustering) explicitly."""
+    from multiple_object_tracking_lidar_tpu.config import SceneBounds
+
+    cfg = _cfg().replace(
+        cluster_backend="grid",
+        voxel_mode="dense",
+        scene=SceneBounds(
+            x_min=-2.6, x_max=2.6, y_min=-1.6, y_max=9.6, z_min=0.0, z_max=1.0
+        ),
+    )
+    tracker = Tracker(cfg)
+    env = build_static_mask(fixture_map, cfg.static_tolarance, cfg.occupied_threshold)
+    mesh = make_mesh(1, 8)  # ONE stream, points sharded over all 8 devices
+    st = ShardedTracker(tracker, mesh)
+
+    n = cfg.caps.n_max_points
+    # two clusters spanning shard boundaries (points are interleaved across
+    # shards by position in the array, so every object straddles every shard)
+    obj1 = rng.normal([0.5, 2.0, 0.5], 0.15, (n // 2, 3))
+    obj2 = rng.normal([-0.8, 5.0, 0.5], 0.15, (n - n // 2, 3))
+    points = np.concatenate([obj1, obj2]).astype(np.float32)
+    rng.shuffle(points)
+    mask = np.ones(n, bool)
+
+    bstate = st.init_state(1)
+    bstate, bout = st.step(
+        bstate,
+        jnp.asarray(points[None]),
+        jnp.asarray(mask[None]),
+        jnp.asarray([0.1], np.float32),
+        env,
+    )
+    bout = jax.tree.map(np.asarray, bout)
+
+    s = tracker.init_state()
+    s, out = tracker.step(
+        s,
+        Frame(points=jnp.asarray(points), mask=jnp.asarray(mask), t=jnp.float32(0.1)),
+        env,
+    )
+    out = jax.tree.map(np.asarray, out)
+
+    assert int(out.n_clusters) == 2
+    assert int(bout.n_clusters[0]) == int(out.n_clusters)
+    assert int(bout.n_dynamic[0]) == int(out.n_dynamic)
+    np.testing.assert_array_equal(bout.obj_id[0], out.obj_id)
+    np.testing.assert_allclose(
+        bout.raw_centroid[0], out.raw_centroid, rtol=0, atol=1e-5
+    )
