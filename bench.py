@@ -135,10 +135,7 @@ def _run_case(cfg, env, sc, n_ring=8, n_scans=25):
     return multi_cps, single_cps, stats
 
 
-def main() -> None:
-    from __graft_entry__ import _bench_config
-    from multiple_object_tracking_lidar_tpu.io.scenario import Scenario, ScenarioObject
-    from multiple_object_tracking_lidar_tpu.ops.static_mask import build_static_mask
+def _load_grid():
     from multiple_object_tracking_lidar_tpu.utils.pgm import load_map_yaml
     import os
     import subprocess
@@ -151,14 +148,21 @@ def main() -> None:
             [sys.executable, os.path.join(here, "assets", "make_fixture_map.py")],
             check=True,
         )
-    grid = load_map_yaml(ymap)
+    return load_map_yaml(ymap)
 
+
+def headline_case():
+    """(cfg, env, scenario) for the headline workload: a realistic 100k-pt
+    LiDAR frame mix — mostly static wall returns, three moving objects, some
+    free-space clutter."""
+    from __graft_entry__ import _bench_config
+    from multiple_object_tracking_lidar_tpu.io.scenario import Scenario, ScenarioObject
+    from multiple_object_tracking_lidar_tpu.ops.static_mask import build_static_mask
+
+    grid = _load_grid()
     cfg = _bench_config()
     n_valid = 100_000
     env = build_static_mask(grid, cfg.static_tolarance, cfg.occupied_threshold)
-
-    # headline: a realistic 100k-pt LiDAR frame mix — mostly static wall
-    # returns, three moving objects, some free-space clutter
     sc = Scenario(
         grid=grid,
         objects=[
@@ -170,14 +174,26 @@ def main() -> None:
         clutter_points=300,  # sparse: clutter must not bridge object clusters
         seed=123,
     )
-    multi_cps, single_cps, stats = _run_case(cfg, env, sc)
+    return cfg, env, sc
 
-    # dense-dynamic scene (VERDICT r1 item 3): 36 moving objects in the
-    # south + a dense unmapped-returns band in the north (its giant
-    # connected blob exceeds max_cluster_size, so it is size-filtered like
-    # PCL would — no track births — but every cell still runs through the
-    # full dense-grid clustering).  Thousands of dynamic voxels, zero
-    # capacity truncation on the grid path.
+
+def dense_case():
+    """(cfg, env, scenario) for the dense-dynamic workload (VERDICT r1 item
+    3): 40 moving objects in the south + a dense unmapped-returns band in the
+    north (its giant connected blob exceeds max_cluster_size, so it is
+    size-filtered like PCL would — no track births — but every cell still
+    runs through the full dense-grid clustering).  Thousands of dynamic
+    voxels, zero capacity truncation on the grid path."""
+    import dataclasses
+
+    from __graft_entry__ import _bench_config
+    from multiple_object_tracking_lidar_tpu.config import SceneBounds
+    from multiple_object_tracking_lidar_tpu.io.scenario import Scenario, ScenarioObject
+    from multiple_object_tracking_lidar_tpu.ops.static_mask import build_static_mask
+
+    grid = _load_grid()
+    cfg = _bench_config()
+    n_valid = 100_000
     rng = np.random.default_rng(7)
     objs = []
     for i in range(40):
@@ -203,9 +219,6 @@ def main() -> None:
         clutter_z=(0.0, 2.0),                  # both z-slabs
         seed=321,
     )
-    import dataclasses
-    from multiple_object_tracking_lidar_tpu.config import SceneBounds
-
     cfg_dense = cfg.replace(
         caps=dataclasses.replace(cfg.caps, c_max_clusters=64, k_max_tracks=96),
         # taller working volume: the unmapped-returns band fills both
@@ -217,6 +230,14 @@ def main() -> None:
     env_dense = build_static_mask(
         grid, cfg_dense.static_tolarance, cfg_dense.occupied_threshold
     )
+    return cfg_dense, env_dense, sc_dense
+
+
+def main() -> None:
+    cfg, env, sc = headline_case()
+    multi_cps, single_cps, stats = _run_case(cfg, env, sc)
+
+    cfg_dense, env_dense, sc_dense = dense_case()
     dense_cps, dense_single, dense_stats = _run_case(cfg_dense, env_dense, sc_dense)
 
     print(

@@ -124,14 +124,19 @@ def _kernel(mp_ref, mpt_ref, mmr_ref, mmc_ref, out_ref, *, cb, p):
 def circumcenter_xy_pallas(
     mpts: jax.Array,         # (C, P, 3) f32 member table
     member_mask: jax.Array,  # (C, P) bool
-    cb: int = 4,
+    cb: int | None = None,
     interpret: bool = False,
 ) -> jax.Array:
-    """(C, 2) circumcenter xy per cluster (garbage rows where no members)."""
+    """(C, 2) circumcenter xy per cluster (garbage rows where no members).
+
+    ``cb`` = clusters per grid step; Mosaic's block rule requires leading
+    block dims to divide the array (trailing dims 8/128-divisible or whole),
+    so a caller-passed cb is honored only when it divides C — otherwise the
+    auto choice (8 if C % 8 == 0 else whole-array) applies.  ADVICE r2: the
+    parameter used to be silently overwritten."""
     c, p, _ = mpts.shape
-    # Mosaic block rule: trailing block dims must be 8/128-divisible or
-    # equal the full array dims — 8 clusters/step, or one whole-array block
-    cb = 8 if c % 8 == 0 else c
+    if cb is None or c % cb != 0:
+        cb = 8 if c % 8 == 0 else c
     mpts = mpts.astype(jnp.float32)
     mpt_t = jnp.swapaxes(mpts, 1, 2)                         # (C, 3, P)
     mm_r = member_mask.astype(jnp.float32)                   # (C, P)

@@ -120,8 +120,17 @@ def voxel_accumulate_onehot_cm(
     if use_pallas and block is not None:
         # v3 kernel: quantize + mask-fold in-kernel from the raw (N, 3)
         # points + (N, 1) mask operands, int8 fixed-point digit channels
-        # (bit-deterministic integer sums; see kernel doc)
-        return _accumulate_pallas_v3(
+        # (bit-deterministic integer sums; see kernel doc).  Its two balanced
+        # int8 digits represent |frac| <= leaf/2 at the fixed 2^19 / 2^14
+        # scales only while leaf/2 * scale fits the digit pair (32640), i.e.
+        # leaf_xy <= ~0.124 m / leaf_z <= ~3.98 m — beyond that the i32
+        # frac silently wraps in the int8 narrow, so fall back to the bf16x3
+        # v2 kernel (exact at any leaf size).  ADVICE r2.
+        if _v3_leaf_ok(leaf_xy, leaf_z):
+            return _accumulate_pallas_v3(
+                points, mask, scene, leaf_xy, leaf_z, block
+            ).astype(points.dtype)
+        return _accumulate_pallas_v2(
             points, mask, scene, leaf_xy, leaf_z, block
         ).astype(points.dtype)
 
@@ -337,6 +346,17 @@ def _accumulate_pallas_v2(
 
 _FXP_XY = 19  # xy frac scale: 2^19 ~ 1.9 um resolution over [0, leaf)
 _FXP_Z = 14   # z frac scale over [0, 20*leaf): ~3e-5 m resolution
+
+
+def _v3_leaf_ok(leaf_xy: float, leaf_z: float) -> bool:
+    """True iff the v3 kernel's two balanced int8 digits can represent the
+    quantized cell-relative frac exactly: |frac| <= leaf/2, and the digit
+    pair covers [-32896, 32639]; require |fq| <= 127*256 = 32512 for margin
+    over the rounding step."""
+    return (
+        leaf_xy / 2.0 * (1 << _FXP_XY) <= 32512.0
+        and leaf_z / 2.0 * (1 << _FXP_Z) <= 32512.0
+    )
 
 
 def _acc_kernel_v3(

@@ -297,6 +297,14 @@ def _perceive_from_dense_acc(
             or (config.grid_cc == "auto" and jax.default_backend() == "tpu")
         )
     )
+    if config.grid_cc == "pallas" and (table is None or dtype != jnp.float32):
+        # an explicit kernel request that can't be honored (env is a tracer
+        # so no host-precomputed drop-bit table, or non-f32 dtype) must not
+        # silently degrade (ADVICE r2)
+        raise ValueError(
+            "grid_cc='pallas' needs a concrete map (per-cell static table) "
+            "and dtype=float32; use grid_cc='auto' to allow the jnp fallback"
+        )
     if use_kernel:
         # fused Pallas kernel: finalize + drop-bit static mask + CC with the
         # whole grid VMEM-resident (ops/grid_pallas.py); ~one dispatch for
@@ -327,6 +335,9 @@ def _perceive_from_dense_acc(
             leaf_z=config.leaf_z,
             kwin=table.k,
             max_sweeps=caps.label_prop_iters,
+            # honor an explicit grid_cc='pallas' on CPU via interpret mode
+            # (matching voxel_accumulate_runs_cm; ADVICE r2)
+            interpret=jax.default_backend() != "tpu",
         )
         n_vox = (acc[3] > 0).sum()
     else:

@@ -391,6 +391,44 @@ def test_v2_accumulator_matches_jnp(rng):
     )
 
 
+def test_v3_large_leaf_gate(rng):
+    """ADVICE r2: the v3 int8-digit kernel only represents cell-relative
+    fracs exactly up to leaf_xy ~0.124 m / leaf_z ~3.97 m; beyond that the
+    dispatcher must fall back to the (exact-at-any-leaf) v2 kernel.  The
+    gate predicate is checked at its boundary, and the v2 fallback is
+    verified against the jnp path at a leaf far past the v3 limit."""
+    from multiple_object_tracking_lidar_tpu.ops.voxel_grid import (
+        _accumulate_pallas_v2,
+        _v3_leaf_ok,
+        voxel_accumulate_onehot_cm,
+    )
+
+    assert _v3_leaf_ok(0.05, 1.0)          # bench config
+    assert _v3_leaf_ok(0.124, 3.9)         # just inside the digit range
+    assert not _v3_leaf_ok(0.125, 1.0)     # 0.125/2 * 2^19 = 32768 wraps int8x2
+    assert not _v3_leaf_ok(0.05, 4.0)      # z digit wraps
+
+    leaf, leaf_z = 0.5, 10.0               # user-set large leaf (config allows it)
+    n = 2048
+    r = np.random.default_rng(17)
+    pts = np.stack(
+        [r.uniform(-3, 3, n), r.uniform(-2, 7, n), r.uniform(-0.5, 2.5, n)],
+        axis=1,
+    ).astype(np.float32)
+    mask = r.random(n) < 0.9
+    ref = voxel_accumulate_onehot_cm(
+        jnp.asarray(pts), jnp.asarray(mask), SCENE, leaf, leaf_z, use_pallas=False
+    )
+    got = _accumulate_pallas_v2(
+        jnp.asarray(pts), jnp.asarray(mask), SCENE, leaf, leaf_z,
+        block=512, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(got[3]), np.asarray(ref[3]))
+    np.testing.assert_allclose(
+        np.asarray(got[:3]), np.asarray(ref[:3]), rtol=0, atol=1e-5
+    )
+
+
 def test_runs_cm_accumulator_matches_jnp(rng):
     """Sort + segsum + densify matmul == jnp one-hot accumulator (counts
     integer-exact; sums to f32 summation order)."""
