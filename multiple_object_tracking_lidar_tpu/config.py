@@ -122,7 +122,14 @@ class TrackerConfig:
     logMagnSigma2_y: float = -3.5        # (cpp:110)
     logLengthScale_y: float = 0.75       # (cpp:111)
     data_length: int = 10                # per-track window length (cpp:113; launch 40)
-    param_fix: bool = True               # ref reads, never uses (cpp:114)
+    param_fix: bool = True               # cpp:114 reads-but-never-uses this; here
+                                         # param_fix=False turns ON online hyper-
+                                         # parameter learning in the node loop
+                                         # (models/learning.learning_step every
+                                         # learn_period seconds, gains swapped
+                                         # without recompile) — the working form
+                                         # of the reference's dead IHGP_nonfixed
+                                         # loop (cpp:922-1011)
 
     # --- reference behavioral constants (hard-coded in the C++) ---
     prune_period: float = 5.0            # track expiry period/staleness, s (cpp:550,564)
@@ -157,6 +164,17 @@ class TrackerConfig:
                                          # stencil otherwise) | "pallas" |
                                          # "jnp"
     dtype: str = "float32"               # device compute dtype
+    grow_bank_on_overflow: bool = True   # node-level escape hatch: when a frame
+                                         # reports overflow (detections dropped
+                                         # because every bank slot was alive),
+                                         # double k_max_tracks, carry all state,
+                                         # and rebind — restoring the reference's
+                                         # unbounded-track semantics (STL vectors,
+                                         # cpp:510-519) at the cost of one
+                                         # recompile per doubling.  The dropped
+                                         # detections re-register next frame.
+    learn_period: float = 1.0            # seconds between online learning_step
+                                         # updates when param_fix=False
     caps: Capacities = dataclasses.field(default_factory=Capacities)
     scene: SceneBounds = dataclasses.field(default_factory=SceneBounds)
 

@@ -67,7 +67,7 @@ def connected_components_grid(
     max_iters: int = 32,
     sweeps_per_iter: int = 6,
     jumps_per_iter: int = 2,
-) -> tuple[jnp.ndarray, jnp.ndarray]:
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Min-label connected components of the radius graph on the dense grid.
 
     Each iteration runs ``sweeps_per_iter`` stencil sweeps (each propagates
@@ -79,8 +79,12 @@ def connected_components_grid(
     Jumping halves the remaining component depth per round, so convergence is
     O(log diameter) iterations instead of O(diameter / stencil radius).
 
-    Returns (labels, n_sweeps): labels[i] = min flat cell index of i's
-    component (n_cells for non-dynamic cells).
+    Returns (labels, n_sweeps, saturated): labels[i] = min flat cell index
+    of i's component (n_cells for non-dynamic cells); ``saturated`` is
+    nonzero iff the convergence loop exited at ``max_iters`` while labels
+    were still changing (possible split clusters — surfaced rather than
+    silent, ADVICE r2).  The pointer-jump rounds make convergence
+    O(log diameter), so 32 iterations cover any grid this stack targets.
     """
     gx, gy, gz = dims
     n = gx * gy * gz
@@ -165,8 +169,11 @@ def connected_components_grid(
         return changed & (it < max_iters)
 
     changed0 = jnp.any(labels0 >= 0)
-    labels, _, n_it = jax.lax.while_loop(cond, body, (labels0, changed0, jnp.int32(0)))
-    return labels.reshape(n), n_it * sweeps_per_iter
+    labels, changed, n_it = jax.lax.while_loop(
+        cond, body, (labels0, changed0, jnp.int32(0))
+    )
+    saturated = (changed & (n_it >= max_iters)).astype(jnp.int32)
+    return labels.reshape(n), n_it * sweeps_per_iter, saturated
 
 
 def _excl_cumsum_2level(A: jnp.ndarray, gx: int) -> jnp.ndarray:
@@ -367,7 +374,7 @@ def euclidean_cluster_grid(
     propagation, then the shared size-filter/ordering/member postprocess).
     Zero capacity truncation at the clustering stage: every dynamic cell
     participates, however dense the scene."""
-    labels, n_iters = connected_components_grid(
+    labels, n_iters, _ = connected_components_grid(
         cent, dyn, dims, tol, leaf_xy, leaf_z, max_iters, sweeps_per_iter,
         jumps_per_iter,
     )

@@ -63,7 +63,7 @@ def _kernel(
     bits_ref,  # VMEM (R, 128) i32 — packed drop bits
     cent_ref,  # out VMEM (4, R, 128) f32 (3 centroid channels + dyn in [3])
     lab_ref,   # out VMEM (R, 128) i32
-    nsw_ref,   # out SMEM (1,) i32 — sweeps executed
+    nsw_ref,   # out SMEM (2,) i32 — [sweeps executed, saturated]
     *,
     dims: tuple[int, int, int],
     n: int,
@@ -160,18 +160,64 @@ def _kernel(
             nmin = jnp.minimum(nmin, jnp.where(adj == 1, nl, sentinel))
         return jnp.minimum(labels, nmin)
 
+    # --- directional segmented min-scans (ADVICE r2): a plain stencil sweep
+    # propagates labels one stencil radius, so a D-cell component needs
+    # ~D/radius sweeps.  Along each grid axis, unit-step adjacency forms
+    # RUNS, and the min label of a whole run spreads in log2(axis) steps by
+    # prefix doubling: after the j-th step, labels cover a window of 2^(j+1)
+    # chained cells and `reach` (all-pairs-chained indicator) doubles with
+    # it.  Interleaving one such scan pass (both directions, each axis)
+    # with each stencil sweep makes straight stretches — the shape of the
+    # large bench components — converge in O(#turns) iterations instead of
+    # O(diameter). ---
+    axis_scan_inits = []
+    for axis_off, k_sh, size in (
+        ((0, 0, 1), 1, gx),
+        ((0, 1, 0), gx, gy),
+        ((1, 0, 0), gx * gy, gz),
+    ):
+        if size <= 1 or axis_off not in offsets:
+            continue
+        o_i = offsets.index(axis_off)
+        # adj_fwd[i] <=> cells i and i+k_sh are radius-adjacent; kept in i32
+        # 0/1 form — Mosaic's dynamic_rotate does not lower for i1 vectors
+        adj_fwd = (
+            jax.lax.shift_right_logical(planes[o_i // 32], jnp.int32(o_i % 32))
+            & 1
+        )
+        axis_scan_inits.append((k_sh, size, adj_fwd))
+
+    def axis_scans(labels):
+        for k_sh, size, adj_fwd in axis_scan_inits:
+            for sgn, reach0 in (
+                (-1, adj_fwd),                        # pull from +axis side
+                (+1, _flat_roll(adj_fwd, k_sh, rows)),  # pull from -axis side
+            ):
+                reach, s = reach0, k_sh
+                while s // k_sh < size:
+                    nl = _flat_roll(labels, sgn * s, rows)
+                    labels = jnp.minimum(
+                        labels, jnp.where(reach == 1, nl, sentinel)
+                    )
+                    reach = reach & _flat_roll(reach, sgn * s, rows)
+                    s *= 2
+        return labels
+
     def body(carry):
         labels, it, _ = carry
-        new = sweep(labels)
+        new = axis_scans(sweep(labels))
         return new, it + 1, jnp.any(new != labels)
 
     def cond(carry):
         _, it, changed = carry
         return changed & (it < max_sweeps)
 
-    labels, n_it, _ = jax.lax.while_loop(cond, body, (labels0, 0, True))
+    labels, n_it, changed = jax.lax.while_loop(cond, body, (labels0, 0, True))
     lab_ref[:] = labels
     nsw_ref[0] = n_it
+    # exited while still changing = the cap truncated propagation; labels may
+    # under-merge (split clusters) — surfaced as FrameOutput.cc_saturated
+    nsw_ref[1] = (changed & (n_it >= max_sweeps)).astype(i32)
 
 
 @functools.partial(
@@ -192,13 +238,23 @@ def fused_finalize_static_cc(
     leaf_xy: float,
     leaf_z: float,
     kwin: int,
-    max_sweeps: int = 64,
+    max_sweeps: int | None = None,
     interpret: bool = False,
-) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
     """Fused finalize + static mask + CC.  Returns (cent (3, n_cells) f32,
-    dyn (n_cells,) bool, labels (n_cells,) i32, n_sweeps)."""
+    dyn (n_cells,) bool, labels (n_cells,) i32, n_sweeps, saturated).
+
+    ``max_sweeps=None`` uses a grid-diameter bound, 2*(gx+gy+gz): with the
+    per-iteration axis scans, each iteration merges at least one straight
+    run, so only adversarial serpentine shapes approach the bound — the
+    while_loop exits as soon as labels stop changing, so a generous cap
+    costs nothing on real scenes.  ``saturated`` is nonzero iff the loop
+    exited at the cap while labels were still changing (possible split
+    clusters; ADVICE r2 asked for this to be surfaced)."""
     gx, gy, gz = dims
     n = gx * gy * gz
+    if max_sweeps is None:
+        max_sweeps = 2 * (gx + gy + gz)
     n_pad = -(-n // 1024) * 1024
     rows = n_pad // _LANES
 
@@ -243,7 +299,7 @@ def fused_finalize_static_cc(
         out_shape=[
             jax.ShapeDtypeStruct((4, rows, _LANES), jnp.float32),
             jax.ShapeDtypeStruct((rows, _LANES), jnp.int32),
-            jax.ShapeDtypeStruct((1,), jnp.int32),
+            jax.ShapeDtypeStruct((2,), jnp.int32),
         ],
         interpret=interpret,
     )(
@@ -257,4 +313,4 @@ def fused_finalize_static_cc(
     flat4 = cent4.reshape(4, n_pad)
     cent = flat4[:3, :n]
     dyn = flat4[3, :n] > 0.0
-    return cent, dyn, labels.reshape(n_pad)[:n], n_sw[0]
+    return cent, dyn, labels.reshape(n_pad)[:n], n_sw[0], n_sw[1]

@@ -57,29 +57,38 @@ class Tracker:
 
     def __init__(self, config: TrackerConfig):
         self.config = config
-        dtype = jnp.dtype(config.dtype)
+        self.gains_x, self.gains_y, self.gains_xy = self.compute_gains(
+            config,
+            (config.logSigma2_x, config.logMagnSigma2_x, config.logLengthScale_x),
+            (config.logSigma2_y, config.logMagnSigma2_y, config.logLengthScale_y),
+        )
+        self._step = jax.jit(partial(_step_impl, config=config, gains_xy=self.gains_xy))
 
-        ssm_x = matern32_from_log(
-            config.logSigma2_x, config.logMagnSigma2_x, config.logLengthScale_x
-        )
-        ssm_y = matern32_from_log(
-            config.logSigma2_y, config.logMagnSigma2_y, config.logLengthScale_y
-        )
-        gx = stationary_gains(ssm_x, config.dt_gp)
-        gy = stationary_gains(ssm_y, config.dt_gp)
-        self.gains_x = gx
-        self.gains_y = gy
+    @staticmethod
+    def compute_gains(
+        config: TrackerConfig,
+        log_x: tuple[float, float, float],
+        log_y: tuple[float, float, float],
+    ):
+        """Host-f64 stationary gains + LTI smoother weights for explicit
+        (logSigma2, logMagnSigma2, logLengthScale) per axis.  Cheap (2x2
+        closed forms) — online hyperparameter learning calls this per update
+        and swaps the result into a gains-as-argument step (bind_env_gains)
+        with no recompile."""
+        dtype = jnp.dtype(config.dtype)
+        gx = stationary_gains(matern32_from_log(*log_x), config.dt_gp)
+        gy = stationary_gains(matern32_from_log(*log_y), config.dt_gp)
         # stack x/y gains on a leading axis for the vmapped batch filter
-        self.gains_xy = jax.tree.map(
+        gains_xy = jax.tree.map(
             lambda a, b: jnp.stack([jnp.asarray(a, dtype), jnp.asarray(b, dtype)]),
             gx.as_jax(dtype),
             gy.as_jax(dtype),
         )
         # closed-form smoother weights (see models.ihgp.smoother_weights):
         # the per-frame GP collapses to one matvec per axis on device
-        self.gains_xy["W_vel"] = smoother_weights_xy(gx, gy, config.data_length - 1, dtype)
-        self.gains_xy["W_pos"] = smoother_weights_xy(gx, gy, config.data_length, dtype)
-        self._step = jax.jit(partial(_step_impl, config=config, gains_xy=self.gains_xy))
+        gains_xy["W_vel"] = smoother_weights_xy(gx, gy, config.data_length - 1, dtype)
+        gains_xy["W_pos"] = smoother_weights_xy(gx, gy, config.data_length, dtype)
+        return gx, gy, gains_xy
 
     def init_state(self) -> TrackerState:
         return init_state(
@@ -134,6 +143,23 @@ class Tracker:
             donate_argnums=(0,) if donate_state else (),
         )
         return lambda state, frame: step(state, frame, env_dev, table_dev)
+
+    def bind_env_gains(self, env: MapEnv, donate_state: bool = True):
+        """Like bind_env, but the IHGP gains ride as a jit ARGUMENT:
+        ``step(state, frame, gains_xy) -> (state, output)``.  Online
+        hyperparameter learning (param_fix=False) swaps updated gains in
+        per call with zero recompilation — the array shapes never change."""
+        cfg = self.config
+        env_dev, table_dev = self._env_args(env)
+        step = jax.jit(
+            lambda state, frame, gains, env_a, table_a: _step_impl(
+                state, frame, env_a, table_a, config=cfg, gains_xy=gains
+            ),
+            donate_argnums=(0,) if donate_state else (),
+        )
+        return lambda state, frame, gains: step(
+            state, frame, gains, env_dev, table_dev
+        )
 
     def bind_env_multi(self, env: MapEnv, donate_state: bool = True):
         """Like bind_env, but processes a BATCH OF CONSECUTIVE FRAMES of one
@@ -219,6 +245,8 @@ class Perception(NamedTuple):
     n_vox: jax.Array
     n_dynamic: jax.Array
     n_clusters: jax.Array
+    cc_saturated: jax.Array  # CC convergence loop hit its sweep cap while
+    #   labels were still changing — clusters may be split (ADVICE r2)
 
 
 def perceive_from_acc(
@@ -323,7 +351,7 @@ def _perceive_from_dense_acc(
                 jnp.float32(config.cluster_tolerance**2),
             ]
         )
-        centd, dyn, labels, n_iters = fused_finalize_static_cc(
+        centd, dyn, labels, n_iters, cc_sat = fused_finalize_static_cc(
             acc.astype(jnp.float32),
             scal,
             table.base_row,
@@ -334,7 +362,12 @@ def _perceive_from_dense_acc(
             leaf_xy=config.voxel_leaf_size,
             leaf_z=config.leaf_z,
             kwin=table.k,
-            max_sweeps=caps.label_prop_iters,
+            # grid-diameter sweep bound (the in-kernel axis scans make real
+            # scenes converge in a handful of iterations; the cap only
+            # matters for adversarial shapes, where cc_saturated fires —
+            # ADVICE r2: the old label_prop_iters cap silently under-merged
+            # components spanning more than ~128 cells)
+            max_sweeps=None,
             # honor an explicit grid_cc='pallas' on CPU via interpret mode
             # (matching voxel_accumulate_runs_cm; ADVICE r2)
             interpret=jax.default_backend() != "tpu",
@@ -351,7 +384,7 @@ def _perceive_from_dense_acc(
             dyn = remove_static(cent.T, occ, env)
 
         centd = cent.astype(dtype)
-        labels, n_iters = connected_components_grid(
+        labels, n_iters, cc_sat = connected_components_grid(
             centd,
             dyn,
             dims,
@@ -384,6 +417,7 @@ def _perceive_from_dense_acc(
         n_vox=n_vox,
         n_dynamic=dyn.sum(),
         n_clusters=ctab.n_clusters,
+        cc_saturated=cc_sat.astype(jnp.int32),
     )
 
 
@@ -437,6 +471,10 @@ def _perceive_from_vox(
         n_vox=n_vox,
         n_dynamic=n_dyn,
         n_clusters=clusters.n_clusters,
+        # all-pairs CC converges in O(log m) thanks to its pointer jumps;
+        # reaching the iteration cap is the only saturation signal it has
+        # (n_iters == -1 from the pallas backend never flags)
+        cc_saturated=(clusters.n_iters >= caps.label_prop_iters).astype(jnp.int32),
     )
 
 
@@ -680,5 +718,7 @@ def track_step(
         n_alive=alive.sum(),
         overflow=assoc.overflow,
         dup_saturated=(mult > n_pass).sum(),
+        cc_saturated=p.cc_saturated,
+        assoc_saturated=assoc.assoc_saturated,
     )
     return new_state, out

