@@ -11,6 +11,7 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import json
+import os
 import sys
 
 
@@ -34,6 +35,19 @@ def cmd_run(args) -> int:
     node = TrackerNode(cfg)
     grid = load_map_yaml(args.map)
     node.on_map(grid)
+
+    ckpt = getattr(args, "checkpoint", None)
+    if ckpt and os.path.exists(ckpt):
+        from multiple_object_tracking_lidar_tpu.runtime.checkpoint import load_state
+
+        state, meta = load_state(ckpt)
+        node.resume(state, meta)
+        print(
+            json.dumps(
+                {"resumed": ckpt, "alive": int(sum(map(bool, state.bank.alive)))}
+            ),
+            file=sys.stderr,
+        )
 
     if getattr(args, "bag", None):
         from multiple_object_tracking_lidar_tpu.io.bag import replay_bag
@@ -107,6 +121,11 @@ def cmd_run(args) -> int:
             ),
             file=sys.stderr,
         )
+    if ckpt:
+        from multiple_object_tracking_lidar_tpu.runtime.checkpoint import save_state
+
+        save_state(ckpt, node.state, extra=node.checkpoint_extra())
+        print(json.dumps({"checkpoint": ckpt}), file=sys.stderr)
     return 0
 
 
@@ -197,6 +216,11 @@ def main(argv=None) -> int:
     pr.add_argument("--bag", help="replay frames from an .npz bag instead of synthesizing")
     pr.add_argument("--record-bag", dest="record_bag", help="record the frames to an .npz bag")
     pr.add_argument("--svg", help="write track trajectories to an SVG file")
+    pr.add_argument(
+        "--checkpoint",
+        help="resume TrackerState from this .npz if it exists; always save "
+        "to it on exit (runtime/checkpoint.py; bit-exact resume)",
+    )
     pr.set_defaults(fn=cmd_run)
 
     pt = sub.add_parser(
