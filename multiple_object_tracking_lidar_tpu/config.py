@@ -96,10 +96,12 @@ class Capacities:
                                     # iteration (cluster_backend="grid"):
                                     # sequential iterations cost ~10 us each
                                     # on TPU, so sweeps are batched per trip
-    max_dup_passes: int = 3         # exact replication of the reference's
-                                    # repeated GP runs when <= N detections
-                                    # match one track in a frame (cpp quirk);
-                                    # more duplicates than this are approximated
+    max_dup_passes: int = 3         # UNUSED since r3 (kept for config
+                                    # compatibility): the duplicate-match
+                                    # GP replay is now an exact while_loop
+                                    # over the true multiplicity
+                                    # (tracker/pipeline.py), so no
+                                    # approximation threshold exists
 
 
 @dataclasses.dataclass(frozen=True)

@@ -557,6 +557,12 @@ def _accumulate_pallas_v3_stacked(
     ONE kernel call (see _acc_kernel_v3_stacked).  Per-frame results are
     bit-identical to _accumulate_pallas_v3.
 
+    EXPERIMENTAL — not wired into any dispatch path (ADVICE r2):
+    bind_env_multi scans the per-frame accumulate inside its fused step; a
+    pipelined dispatch that hoists the whole frame stack's accumulation into
+    this one kernel call is the intended consumer.  Parity is pinned by
+    tests/test_grid.py::test_stacked_accumulator_bit_identical.
+
     NB: the stacked grid double-buffers input blocks across the frame
     boundary too — block=4096 exceeds the 16 MB scoped-VMEM limit here
     (18.5 MB measured) even though the single-frame kernel fits; cap at

@@ -41,7 +41,7 @@ class FrameStats:
     n_alive: int
     overflow: int
     nan_velocity: bool = False
-    dup_saturated: int = 0  # tracks past max_dup_passes (parity approximation)
+    dup_saturated: int = 0  # always 0 since r3 (exact duplicate replay)
     cc_saturated: int = 0   # clustering sweep cap hit (clusters may be split)
     assoc_saturated: int = 0  # auction association hit its cap unconverged
 

@@ -628,8 +628,10 @@ def track_step(
     # when several detections matched the same track (its no-claimed-set
     # quirk), the GP runs repeatedly over the same window, chaining the
     # carried state `m`, and each duplicate publishes the output of ITS pass.
-    # We reproduce that with `max_dup_passes` chained batch passes and a
-    # per-detection ordinal selecting which pass a detection reads.
+    # Reproduced EXACTLY for any multiplicity: a bounded while_loop runs
+    # max(multiplicity) chained batch passes, each duplicate reads its own
+    # pass, each track's carry advances once per duplicate (r3; formerly a
+    # 3-pass unrolled approximation that saturated at >=4 duplicates).
     k_max = bank.alive.shape[0]
     win_xy = bank.window[:, :, :2]                         # (K, L, 2)
     vels = (win_xy[:, 1:, :] - win_xy[:, :-1, :]) / jnp.asarray(dt_gp, dtype)
@@ -659,17 +661,6 @@ def track_step(
         vel = jnp.where(vel > vmax, vmax, jnp.where(vel < -vmax, -vmax, vel))
         return pos, vel, m_out
 
-    n_pass = max(1, int(getattr(caps, "max_dup_passes", 3)))
-    pos_p, vel_p, m_p = [], [], [bank.m0]
-    for _ in range(n_pass):
-        p_, v_, m_ = one_pass(m_p[-1])
-        pos_p.append(p_)
-        vel_p.append(v_)
-        m_p.append(m_)
-    pos_s = jnp.stack(pos_p)          # (P, K, 2)
-    vel_s = jnp.stack(vel_p)          # (P, K, 2)
-    m_s = jnp.stack(m_p)              # (P+1, K, 2, 2)
-
     # detection multiplicity per slot and per-detection ordinal
     det_active = assoc.det_ok & steady
     onehot = (
@@ -681,11 +672,40 @@ def track_step(
         assoc.det_slot[:, None],
         axis=1,
     )[:, 0]                                                # (D,)
-    ordinal = jnp.clip(ordinal, 0, n_pass - 1)
 
-    pos_det = pos_s[ordinal, assoc.det_slot]               # (D, 2)
-    vel_det = vel_s[ordinal, assoc.det_slot]
-    m0 = m_s[jnp.clip(mult, 0, n_pass), jnp.arange(k_max)]  # (K, 2, 2)
+    # exact chained passes: one while_loop trip per duplicate ordinal; on
+    # ordinary frames (multiplicity <= 1 everywhere) this is ONE pass —
+    # cheaper than the old 3-pass unroll.  Detection d reads pass
+    # ordinal[d]; track k's carried state stops advancing after mult[k]
+    # passes (tracks with no match this frame keep their m unchanged).
+    slot = assoc.det_slot
+    max_mult = mult.max()
+
+    def dup_cond(c):
+        return c[0] < max_mult
+
+    def dup_body(c):
+        p, m, pd, vd, m_fin = c
+        pos, vel, m_next = one_pass(m)
+        selp = (ordinal == p)[:, None]
+        pd = jnp.where(selp, pos[slot], pd)
+        vd = jnp.where(selp, vel[slot], vd)
+        m_fin = jnp.where((mult == p + 1)[:, None, None], m_next, m_fin)
+        return p + 1, m_next, pd, vd, m_fin
+
+    _, _, pos_det, vel_det, m0 = jax.lax.while_loop(
+        dup_cond,
+        dup_body,
+        (
+            # all inits derived from data so their varying/sharding types
+            # match the body outputs under shard_map
+            jnp.zeros_like(max_mult),
+            bank.m0,
+            (dets[:, :2] * 0).astype(dtype),
+            (dets[:, :2] * 0).astype(dtype),
+            bank.m0,
+        ),
+    )
 
     # ---- E X P I R Y  (cpp:545-584) ----------------------------------------
     spin = state.spin_counter + steady.astype(jnp.int32)
@@ -717,7 +737,10 @@ def track_step(
         n_clusters=p.n_clusters,
         n_alive=alive.sum(),
         overflow=assoc.overflow,
-        dup_saturated=(mult > n_pass).sum(),
+        # the exact while_loop replays EVERY duplicate pass, so saturation is
+        # structurally impossible now (field kept for output compatibility;
+        # data-derived zero for shard_map)
+        dup_saturated=(mult < 0).sum(),
         cc_saturated=p.cc_saturated,
         assoc_saturated=assoc.assoc_saturated,
     )

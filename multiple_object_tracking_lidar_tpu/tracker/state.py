@@ -64,10 +64,10 @@ class FrameOutput(NamedTuple):
     n_clusters: jax.Array
     n_alive: jax.Array
     overflow: jax.Array   # detections dropped because the bank was full
-    dup_saturated: jax.Array  # tracks whose duplicate-match count exceeded
-    #   max_dup_passes this frame — later duplicates publish the last pass's
-    #   output (approximation of the reference's unbounded chained GP passes,
-    #   cpp:629-659); nonzero means strict parity is not guaranteed this frame
+    dup_saturated: jax.Array  # always 0 since r3: the duplicate-match GP
+    #   replay (cpp:629-659) runs an exact while_loop over the true
+    #   multiplicity, so the old 3-pass approximation (and its saturation)
+    #   no longer exists; field kept for output compatibility
     cc_saturated: jax.Array  # clustering's convergence loop exited at its
     #   sweep cap while labels were still changing — clusters may be split
     #   this frame (ADVICE r2: previously silent)

@@ -1,12 +1,12 @@
-"""Duplicate-match chained-GP quirk at and beyond max_dup_passes.
+"""Duplicate-match chained-GP quirk: exact at ANY multiplicity (r3).
 
 The reference has no claimed-set: several detections in one frame can match
 the SAME track (cpp:177-219), and callIHGP then runs the GP once per entry
 of this_objIDs over the same window, chaining the carried state `m`
-(cpp:621-662).  The framework reproduces the first `max_dup_passes` chained
-passes exactly and approximates later duplicates by republishing the last
-pass (config.py caps.max_dup_passes).  This file pins BOTH behaviors:
-oracle-exact for ordinals < max_dup_passes, documented saturation at 4+.
+(cpp:621-662).  Since r3 the framework replays EVERY duplicate pass with a
+bounded while_loop over the true multiplicity (VERDICT r2 stretch #9) — this
+file pins oracle-exact parity for all five ordinals of a 5-duplicate frame
+and that dup_saturated is structurally zero.
 """
 
 import jax.numpy as jnp
@@ -72,7 +72,7 @@ def test_five_duplicates_exact_then_saturated():
     )
     assert bool(out.publish)
     np.testing.assert_array_equal(np.asarray(out.obj_id), 0)
-    assert int(out.dup_saturated) == 1  # one track exceeded max_dup_passes=3
+    assert int(out.dup_saturated) == 0  # exact replay: saturation impossible
 
     # ---- oracle: chained passes over the final window -----------------------
     F, Pinf, H, R = oracle.matern32(
@@ -116,23 +116,22 @@ def test_five_duplicates_exact_then_saturated():
     np.testing.assert_allclose(
         pos, np.broadcast_to(pos_ref, pos.shape), rtol=0, atol=1e-12
     )
-    # ordinals 0..2: exact chained-pass parity
-    for p in range(3):
+    # ALL five ordinals: exact chained-pass parity (the old 3-pass
+    # approximation republished pass 3 for ordinals 3-4; now each duplicate
+    # reads its own pass)
+    for p in range(5):
         np.testing.assert_allclose(vel[p], vels_ref[p], rtol=0, atol=1e-12)
-    # ordinals 3..4: documented approximation — republish pass 3, which
-    # genuinely differs from the reference's unbounded passes 4 and 5
-    np.testing.assert_allclose(vel[3], vel[2], rtol=0, atol=0)
-    np.testing.assert_allclose(vel[4], vel[2], rtol=0, atol=0)
-    assert not np.allclose(vel[3], vels_ref[3], atol=1e-9)
+    # successive passes genuinely differ (the chain is live, not republished)
+    assert not np.allclose(vel[3], vel[2], atol=1e-12)
 
-    # carried m saturates at the pass-3 smoothed head state: next frame with a
-    # single match must equal an oracle whose GP ran exactly 3 chained passes
+    # carried m advanced through ALL FIVE passes: next frame with a single
+    # match must equal an oracle whose GP ran exactly 5 chained passes
     gpx3 = oracle.IHGPOracle(DT, F, H, Pinf, R)
     gpy3 = oracle.IHGPOracle(DT, Fy, Hy, Py, Ry)
     w3 = [np.array([0.0, 0.0, 0.0, 0.1])] * L
     for x, y in dets_xy:
         w3 = w3[1:] + [np.array([x, y, 0.0, 0.2])]
-    for _ in range(3):
+    for _ in range(5):
         gpx3.init_step()
         gpy3.init_step()
         vx = [(w3[k + 1][0] - w3[k][0]) / DT for k in range(L - 1)]

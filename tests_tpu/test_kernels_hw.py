@@ -129,8 +129,13 @@ def test_centroid_kernel_hw(rng):
 
 
 def test_stacked_multi_equals_per_frame_hw(rng):
-    """bind_env_multi's stacked-accumulate fast path == frame-by-frame
-    bind_env on-device (bit-identical tracking chain)."""
+    """bind_env_multi (lax.scan of full steps) == frame-by-frame bind_env
+    on-device: bit-identical tracking chain.  (ADVICE r2: this test does NOT
+    exercise _accumulate_pallas_v3_stacked — that kernel is an experimental
+    alternative for batching the accumulate across a frame stack in one
+    pallas_call, currently unwired; bind_env_multi scans the per-frame
+    accumulate.  Its own parity coverage is
+    tests/test_grid.py::test_stacked_accumulator_bit_identical.)"""
     import os
 
     from multiple_object_tracking_lidar_tpu.config import (
