@@ -53,86 +53,110 @@ def _stage_frames(sc, n_pts, n_ring):
     return frames
 
 
-def _run_case(cfg, env, sc, n_ring=8, n_scans=25):
-    """Compile + measure one workload.  Returns (clouds/s multi, clouds/s
-    single, stats dict from the capacity-honesty pass)."""
-    from multiple_object_tracking_lidar_tpu.tracker.pipeline import Tracker
-    from multiple_object_tracking_lidar_tpu.tracker.state import Frame
+def _force_sync_dispatch_mode():
+    """One tiny D2H readback, executed BEFORE any timed work.
 
-    tracker = Tracker(cfg)
-    frames = _stage_frames(sc, cfg.caps.n_max_points, n_ring)
-    step = tracker.bind_env_multi(env)
-    frames_stacked = Frame(
-        points=jnp.stack([f.points for f in frames]),
-        mask=jnp.stack([f.mask for f in frames]),
-        t=jnp.stack([f.t for f in frames]),
-    )
+    This stack's runtime client starts in a deferred-enqueue mode in which
+    `block_until_ready` does NOT synchronize with device completion — a
+    timed loop terminated by it measures host enqueue rate (tens of
+    thousands of "clouds/s"), and the deferred work is paid back at
+    ~300 ms/dispatch on the first value fetch.  The first readback
+    permanently switches the client into the honest streaming mode:
+    ~0.4 ms/dispatch host cost, device work streaming in the background,
+    and value fetches that truly wait (measured; docs/PERFORMANCE.md
+    round-3 dispatch-mode notes).  All numbers below are measured in this
+    mode and terminated by a value fetch, so they are sustained *execution*
+    throughput, not enqueue throughput."""
+    np.asarray(jnp.zeros((), jnp.int32) + 1)
 
-    state = tracker.init_state()
-    for _ in range(2):
-        state, out = step(state, frames_stacked)
-    jax.block_until_ready(out)
 
-    # capacity honesty: the run must be overflow/truncation-free at these
-    # capacities or the number is invalid (VERDICT r1)
-    state_chk = tracker.init_state()
-    state_chk, out_chk = step(state_chk, frames_stacked)
-    out_chk = jax.tree.map(np.asarray, out_chk)
-    assert int(out_chk.overflow.sum()) == 0, "track-bank overflow during bench"
-    if cfg.cluster_backend != "grid":
-        # the grid path has no dynamic-point capacity at all
-        assert int(out_chk.n_dynamic.max()) <= cfg.caps.m_max_dynamic, (
-            f"dynamic-voxel truncation: {int(out_chk.n_dynamic.max())} > "
-            f"{cfg.caps.m_max_dynamic}"
+class _Case:
+    """One workload: compile + warm both dispatch shapes, then timed loops
+    (fetch-terminated; see _force_sync_dispatch_mode) and the capacity-
+    honesty readback pass."""
+
+    def __init__(self, cfg, env, sc, n_ring=8, n_scans=100):
+        from multiple_object_tracking_lidar_tpu.tracker.pipeline import Tracker
+        from multiple_object_tracking_lidar_tpu.tracker.state import Frame
+
+        self.cfg = cfg
+        self.n_ring = n_ring
+        self.n_scans = n_scans
+        self.tracker = Tracker(cfg)
+        self.frames = _stage_frames(sc, cfg.caps.n_max_points, n_ring)
+        self.step = self.tracker.bind_env_multi(env)
+        self.step1 = self.tracker.bind_env(env)
+        self.frames_stacked = Frame(
+            points=jnp.stack([f.points for f in self.frames]),
+            mask=jnp.stack([f.mask for f in self.frames]),
+            t=jnp.stack([f.t for f in self.frames]),
         )
-    assert int(out_chk.n_clusters.max()) <= cfg.caps.c_max_clusters, (
-        "cluster-slot truncation during bench"
-    )
-    assert int(out_chk.n_voxels.max()) <= cfg.caps.m_max_voxels, (
-        "voxel truncation during bench"
-    )
-    stats = {
-        "n_dynamic_max": int(out_chk.n_dynamic.max()),
-        "n_clusters_max": int(out_chk.n_clusters.max()),
-        "n_voxels_max": int(out_chk.n_voxels.max()),
-        "overflow": 0,
-    }
+        # compile + warm both dispatch shapes
+        state = self.tracker.init_state()
+        for _ in range(2):
+            state, out = self.step(state, self.frames_stacked)
+        np.asarray(out.n_clusters)
+        state1 = self.tracker.init_state()
+        for f in self.frames[:2]:
+            state1, out1 = self.step1(state1, f)
+        np.asarray(out1.n_clusters)
 
-    # timed: n_scans async dispatches of the n_ring-frame scan.  At this
-    # batch size the wall time is DEVICE-BOUND: back-to-back executions
-    # measure <2 us apart on-device, host enqueue is ~0.1 ms/dispatch, and
-    # the wall number reconciles with the xplane device profile once the
-    # trace clock's ~17% optimism is accounted for (docs/PERFORMANCE.md) —
-    # longer scans and single-dispatch loop programs measure the same.
-    best = float("inf")
-    for _ in range(3):
-        state = tracker.init_state()
-        t0 = time.perf_counter()
-        for _ in range(n_scans):
-            state, out = step(state, frames_stacked)
-        jax.block_until_ready(out)
-        best = min(best, time.perf_counter() - t0)
-    multi_cps = (n_scans * n_ring) / best
+    def run_timed(self):
+        # timed: n_scans dispatches of the n_ring-frame scan, terminated by
+        # a VALUE FETCH of the last output (the state chains through every
+        # dispatch, so the fetch orders after all of them).  The fetch RTT
+        # (~30 ms on this tunnel) is amortized by n_scans and included in
+        # the number — the result is honest sustained execution throughput,
+        # slightly pessimistic, never optimistic.
+        best = float("inf")
+        for _ in range(3):
+            state = self.tracker.init_state()
+            t0 = time.perf_counter()
+            for _ in range(self.n_scans):
+                state, out = self.step(state, self.frames_stacked)
+            np.asarray(out.n_clusters)
+            best = min(best, time.perf_counter() - t0)
+        self.multi_cps = (self.n_scans * self.n_ring) / best
 
-    # single-frame dispatch (the node's default bind_env path): dispatches
-    # queued asynchronously so the number is device throughput of the
-    # single-frame program, not tunnel RTT
-    step1 = tracker.bind_env(env)
-    state1 = tracker.init_state()
-    for f in frames[:2]:
-        state1, out1 = step1(state1, f)
-    jax.block_until_ready(out1)
-    n_single = 100
-    best1 = float("inf")
-    for _ in range(3):
-        state1 = tracker.init_state()
-        t0 = time.perf_counter()
-        for i in range(n_single):
-            state1, out1 = step1(state1, frames[i % n_ring])
-        jax.block_until_ready(out1)
-        best1 = min(best1, time.perf_counter() - t0)
-    single_cps = n_single / best1
-    return multi_cps, single_cps, stats
+        # single-frame dispatch (the node's default bind_env path), same
+        # fetch-terminated discipline
+        n_single = 400
+        best1 = float("inf")
+        for _ in range(3):
+            state1 = self.tracker.init_state()
+            t0 = time.perf_counter()
+            for i in range(n_single):
+                state1, out1 = self.step1(state1, self.frames[i % self.n_ring])
+            np.asarray(out1.n_clusters)
+            best1 = min(best1, time.perf_counter() - t0)
+        self.single_cps = n_single / best1
+
+    def verify(self):
+        """Capacity honesty (VERDICT r1): the run must be overflow/
+        truncation-free at these capacities or the number is invalid."""
+        cfg = self.cfg
+        state_chk = self.tracker.init_state()
+        state_chk, out_chk = self.step(state_chk, self.frames_stacked)
+        out_chk = jax.tree.map(np.asarray, out_chk)
+        assert int(out_chk.overflow.sum()) == 0, "track-bank overflow during bench"
+        if cfg.cluster_backend != "grid":
+            # the grid path has no dynamic-point capacity at all
+            assert int(out_chk.n_dynamic.max()) <= cfg.caps.m_max_dynamic, (
+                f"dynamic-voxel truncation: {int(out_chk.n_dynamic.max())} > "
+                f"{cfg.caps.m_max_dynamic}"
+            )
+        assert int(out_chk.n_clusters.max()) <= cfg.caps.c_max_clusters, (
+            "cluster-slot truncation during bench"
+        )
+        assert int(out_chk.n_voxels.max()) <= cfg.caps.m_max_voxels, (
+            "voxel truncation during bench"
+        )
+        self.stats = {
+            "n_dynamic_max": int(out_chk.n_dynamic.max()),
+            "n_clusters_max": int(out_chk.n_clusters.max()),
+            "n_voxels_max": int(out_chk.n_voxels.max()),
+            "overflow": 0,
+        }
 
 
 def _load_grid():
@@ -234,11 +258,18 @@ def dense_case():
 
 
 def main() -> None:
-    cfg, env, sc = headline_case()
-    multi_cps, single_cps, stats = _run_case(cfg, env, sc)
-
-    cfg_dense, env_dense, sc_dense = dense_case()
-    dense_cps, dense_single, dense_stats = _run_case(cfg_dense, env_dense, sc_dense)
+    _force_sync_dispatch_mode()  # honest timing — see the docstring
+    head = _Case(*headline_case())
+    dense = _Case(*dense_case())
+    head.run_timed()
+    dense.run_timed()
+    head.verify()
+    dense.verify()
+    multi_cps, single_cps, stats = head.multi_cps, head.single_cps, head.stats
+    dense_cps, dense_single, dense_stats = (
+        dense.multi_cps, dense.single_cps, dense.stats
+    )
+    cfg = head.cfg
 
     print(
         json.dumps(

@@ -86,23 +86,30 @@ class IHGPGains:
     HdA: np.ndarray      # (3,2)
 
     def as_jax(self, dtype=jnp.float32) -> dict:
-        """Device constants for the fast path (no derivative tensors)."""
+        """Trace-time constants for the fast path (no derivative tensors).
+
+        HOST numpy, not device arrays: these leaves get closed over by the
+        jitted step, and jax.jit.lower() fetches device-resident closure
+        constants back to host to embed them as HLO literals — and on this
+        stack the first device->host readback permanently flips the runtime
+        client into a ~17x slower dispatch mode (docs/PERFORMANCE.md).
+        numpy leaves embed identically with no readback."""
         return {
-            "A": jnp.asarray(self.A, dtype),
-            "K": jnp.asarray(self.K, dtype),
-            "HA": jnp.asarray(self.HA, dtype),
-            "AKHA": jnp.asarray(self.AKHA, dtype),
-            "G": jnp.asarray(self.G, dtype),
-            "S": jnp.asarray(self.S, dtype),
+            "A": np.asarray(self.A, dtype),
+            "K": np.asarray(self.K, dtype),
+            "HA": np.asarray(self.HA, dtype),
+            "AKHA": np.asarray(self.AKHA, dtype),
+            "G": np.asarray(self.G, dtype),
+            "S": np.asarray(self.S, dtype),
         }
 
     def as_jax_learning(self, dtype=jnp.float32) -> dict:
         d = self.as_jax(dtype)
         d.update(
-            dS=jnp.asarray(self.dS, dtype),
-            dK=jnp.asarray(self.dK, dtype),
-            dAKHA=jnp.asarray(self.dAKHA, dtype),
-            HdA=jnp.asarray(self.HdA, dtype),
+            dS=np.asarray(self.dS, dtype),
+            dK=np.asarray(self.dK, dtype),
+            dAKHA=np.asarray(self.dAKHA, dtype),
+            HdA=np.asarray(self.HdA, dtype),
         )
         return d
 
@@ -275,11 +282,13 @@ def smoother_weights(gains: IHGPGains, length: int) -> dict:
 def smoother_weights_xy(
     gains_x: IHGPGains, gains_y: IHGPGains, length: int, dtype=jnp.float32
 ) -> dict:
-    """Per-axis weights stacked on a leading {x, y} axis, as device constants."""
+    """Per-axis weights stacked on a leading {x, y} axis, as HOST constants
+    (numpy — embedded as literals at lowering; see IHGPGains.as_jax for why
+    device-resident closure constants are poison on this stack)."""
     wx = smoother_weights(gains_x, length)
     wy = smoother_weights(gains_y, length)
     return {
-        k: jnp.stack([jnp.asarray(wx[k], dtype), jnp.asarray(wy[k], dtype)])
+        k: np.stack([np.asarray(wx[k], dtype), np.asarray(wy[k], dtype)])
         for k in wx
     }
 

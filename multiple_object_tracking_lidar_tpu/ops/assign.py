@@ -35,10 +35,14 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from multiple_object_tracking_lidar_tpu.tracker.state import TrackBank
 
-_INT_BIG = jnp.int32(2**30)
+# host scalar, NOT jnp: a device-resident constant captured by the jitted
+# step costs a D2H readback at lower() time, which permanently flips this
+# stack's runtime client into a ~17x slower dispatch mode (docs/PERFORMANCE.md)
+_INT_BIG = np.int32(2**30)
 
 
 class AssocResult(NamedTuple):

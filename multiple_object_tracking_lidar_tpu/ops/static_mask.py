@@ -61,7 +61,7 @@ def build_static_mask(
         occ = dil
 
     yaw = grid.info.origin_yaw
-    return MapEnv(
+    env = MapEnv(
         dilated=jnp.asarray(occ),
         origin_x=jnp.float32(grid.info.origin_x),
         origin_y=jnp.float32(grid.info.origin_y),
@@ -69,6 +69,51 @@ def build_static_mask(
         sin_nyaw=jnp.float32(math.sin(-yaw)),
         inv_resolution=jnp.float32(1.0 / grid.info.resolution),
     )
+    # host mirror: downstream precomputes (cell static table) need the map
+    # values back on the host.  Reading them back from the device would work,
+    # but on this stack the FIRST device->host readback permanently switches
+    # the runtime client into a slow dispatch mode (~13 us -> ~220 us per
+    # jitted call, measured; docs/PERFORMANCE.md) — so the host copy is
+    # registered here, where it already exists, and host_env_view() serves it
+    # without ever touching the device.
+    _HOST_ENV[id(env.dilated)] = (
+        np.asarray(occ),
+        float(grid.info.origin_x),
+        float(grid.info.origin_y),
+        float(math.cos(-yaw)),
+        float(math.sin(-yaw)),
+        float(1.0 / grid.info.resolution),
+    )
+    _HOST_ENV_KEEP.append(env.dilated)  # pin id() validity for the dict key
+    return env
+
+
+# id(dilated-array) -> (dilated np, origin_x, origin_y, cos_nyaw, sin_nyaw,
+# inv_resolution).  Strong refs in _HOST_ENV_KEEP keep the ids stable; maps
+# are rare (one per process in practice), so growth is bounded.
+_HOST_ENV: dict = {}
+_HOST_ENV_KEEP: list = []
+
+
+def host_env_view(env: MapEnv):
+    """(dilated_np, ox, oy, cos, sin, inv_res) without a device readback when
+    the env was built by build_static_mask in this process; falls back to a
+    device fetch otherwise (e.g. an env deserialized from a checkpoint).
+    Returns None when env holds tracers (inside jit/shard_map)."""
+    mirror = _HOST_ENV.get(id(env.dilated))
+    if mirror is not None:
+        return mirror
+    try:
+        return (
+            np.asarray(env.dilated),
+            float(np.asarray(env.origin_x)),
+            float(np.asarray(env.origin_y)),
+            float(np.asarray(env.cos_nyaw)),
+            float(np.asarray(env.sin_nyaw)),
+            float(np.asarray(env.inv_resolution)),
+        )
+    except Exception:
+        return None
 
 
 class CellStaticTable(NamedTuple):
@@ -108,15 +153,10 @@ def build_cell_static_table(
     """Host precompute of the per-cell drop-bit windows.  Returns None when
     the fast path does not apply (window exceeds 32 bits, or env is a tracer
     rather than concrete map data) — callers fall back to remove_static."""
-    try:
-        dil = np.asarray(env.dilated)
-        cos = float(np.asarray(env.cos_nyaw))
-        sin = float(np.asarray(env.sin_nyaw))
-        ox = float(np.asarray(env.origin_x))
-        oy = float(np.asarray(env.origin_y))
-        inv_res = float(np.asarray(env.inv_resolution))
-    except Exception:
+    view = host_env_view(env)
+    if view is None:
         return None
+    dil, ox, oy, cos, sin, inv_res = view
     h, w = dil.shape
     # window edge: map-space span of one cell (+1 pixel straddle, +2 f32 fuzz)
     span = leaf_xy * (abs(cos) + abs(sin)) * inv_res
@@ -169,20 +209,20 @@ def get_cell_static_table(
 ) -> CellStaticTable | None:
     """Cached build_cell_static_table keyed by map CONTENT + scene geometry
     (id-based keys could alias a freed map's storage)."""
-    try:
-        import hashlib
-
-        raw = np.asarray(env.dilated).tobytes()
-        key = (
-            hashlib.sha1(raw).hexdigest(),
-            float(np.asarray(env.origin_x)),
-            float(np.asarray(env.origin_y)),
-            float(np.asarray(env.cos_nyaw)),
-            float(np.asarray(env.inv_resolution)),
-            (scene.x_min, scene.y_min, leaf_xy, gx, gy, gz),
-        )
-    except Exception:
+    view = host_env_view(env)
+    if view is None:
         return None
+    import hashlib
+
+    dil, ox, oy, cos, _sin, inv_res = view
+    key = (
+        hashlib.sha1(dil.tobytes()).hexdigest(),
+        ox,
+        oy,
+        cos,
+        inv_res,
+        (scene.x_min, scene.y_min, leaf_xy, gx, gy, gz),
+    )
     if key not in _CELL_TABLE_CACHE:
         _CELL_TABLE_CACHE[key] = build_cell_static_table(
             env, scene, leaf_xy, gx, gy, gz

@@ -24,6 +24,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from multiple_object_tracking_lidar_tpu.config import TrackerConfig
 from multiple_object_tracking_lidar_tpu.models.ihgp import (
@@ -78,9 +79,13 @@ class Tracker:
         dtype = jnp.dtype(config.dtype)
         gx = stationary_gains(matern32_from_log(*log_x), config.dt_gp)
         gy = stationary_gains(matern32_from_log(*log_y), config.dt_gp)
-        # stack x/y gains on a leading axis for the vmapped batch filter
+        # stack x/y gains on a leading axis for the vmapped batch filter.
+        # HOST numpy throughout: these leaves are closed over by the jitted
+        # step, and lowering device-resident closure constants costs a D2H
+        # readback that permanently flips this stack's runtime client into a
+        # ~17x slower dispatch mode (docs/PERFORMANCE.md).
         gains_xy = jax.tree.map(
-            lambda a, b: jnp.stack([jnp.asarray(a, dtype), jnp.asarray(b, dtype)]),
+            lambda a, b: np.stack([np.asarray(a, dtype), np.asarray(b, dtype)]),
             gx.as_jax(dtype),
             gy.as_jax(dtype),
         )
