@@ -165,6 +165,14 @@ class TrackerConfig:
                                          # per-cell static table applies, jnp
                                          # stencil otherwise) | "pallas" |
                                          # "jnp"
+    assoc_backend: str = "auto"          # greedy association engine: "auto"
+                                         # (VMEM scan kernel on TPU when
+                                         # K,D <= 128 and dtype=f32; jnp
+                                         # otherwise) | "pallas" | "jnp".
+                                         # Decisions are bit-identical; the
+                                         # kernel removes the ~9 us/detection
+                                         # XLA scan overhead (docs/
+                                         # PERFORMANCE.md round 3)
     dtype: str = "float32"               # device compute dtype
     grow_bank_on_overflow: bool = True   # node-level escape hatch: when a frame
                                          # reports overflow (detections dropped
@@ -209,6 +217,8 @@ class TrackerConfig:
             )
         if self.grid_cc not in ("auto", "pallas", "jnp"):
             raise ValueError(f"unknown grid_cc {self.grid_cc!r}")
+        if self.assoc_backend not in ("auto", "pallas", "jnp"):
+            raise ValueError(f"unknown assoc_backend {self.assoc_backend!r}")
 
     def replace(self, **kw: Any) -> "TrackerConfig":
         return dataclasses.replace(self, **kw)

@@ -100,12 +100,17 @@ def associate_and_update(
     interp_gap_factor: float = 3.0,
     allow_match: jax.Array | bool = True,
     cond_branch: bool = True,
+    backend: str = "auto",
 ) -> AssocResult:
     """``allow_match=False`` reproduces the first-frame path (cpp:153-156):
     every centroid registers a new track, no gating against the bank.
     ``cond_branch=False`` evaluates both decision paths and selects (needed
     under shard_map, where lax.cond branch-varying-axis reconciliation fails
-    in current JAX); results are identical either way."""
+    in current JAX); results are identical either way.
+    ``backend``: "auto" runs the whole decision scan as a VMEM Pallas kernel
+    on TPU when K, D <= 128 and everything is f32 (bit-identical decisions,
+    no fast/slow cond at all — docs/PERFORMANCE.md round 3); "pallas" forces
+    it (interpret mode off-TPU); "jnp" keeps the cond'd fast/slow pair."""
     K = bank.alive.shape[0]
     L = bank.window.shape[1]
     D = dets.shape[0]
@@ -126,181 +131,226 @@ def associate_and_update(
     allow_b = (
         jnp.bool_(allow_match) if isinstance(allow_match, bool) else allow_match
     )
-    dxm = dets[:, 0:1] - L_last[None, :, 0]
-    dym = dets[:, 1:2] - L_last[None, :, 1]
-    distm = jnp.sqrt(dxm * dxm + dym * dym)              # (D, K)
-    gate_m = bank.alive[None, :] & (distm < id_threshold) & allow_b
-    gate_v = gate_m & det_valid[:, None]
-
-    # independence test
-    per_track = gate_v.sum(0)
-    cond_a = (per_track <= 1).all()
-    ddx = dets[:, 0:1] - dets[None, :, 0]
-    ddy = dets[:, 1:2] - dets[None, :, 1]
-    dd = ddx * ddx + ddy * ddy
-    both_valid = det_valid[:, None] & det_valid[None, :]
-    off_diag = ~jnp.eye(D, dtype=bool)
-    cond_b = jnp.where(
-        both_valid & off_diag, dd >= id_threshold * id_threshold, True
-    ).all()
-    independent = (cond_a & cond_b) | ~allow_b
-
-    def fast_fn(_):
-        any_match = gate_m.any(axis=1)
-        slot_m = jnp.argmin(
-            jnp.where(gate_m, bank.birth_seq[None, :], _INT_BIG), axis=1
-        ).astype(jnp.int32)
-        matched = det_valid & any_match
-        want_new = det_valid & ~any_match
-        free = ~bank.alive
-        free_rank = jnp.cumsum(free.astype(jnp.int32)) - 1
-        n_free = free.sum()
-        new_rank = jnp.cumsum(want_new.astype(jnp.int32)) - 1
-        register = want_new & (new_rank < n_free)
-        ovf = (want_new & ~register).sum().astype(jnp.int32)
-        free_slot_by_rank = (
-            jnp.full(K + 1, 0, jnp.int32)
-            .at[jnp.where(free, free_rank, K)]
-            .set(idxK, mode="drop")[:K]
+    # ---- kernel path: the whole decision scan in VMEM (bit-identical) ------
+    allow_scalar = (
+        jnp.bool_(allow_match)
+        if isinstance(allow_match, bool)
+        else (allow_match if getattr(allow_match, "ndim", None) == 0 else None)
+    )
+    use_kernel = (
+        allow_scalar is not None
+        and K <= 128
+        and D <= 128
+        and fdt == jnp.float32
+        and dtype == jnp.float32
+        and (
+            backend == "pallas"
+            or (backend == "auto" and jax.default_backend() == "tpu")
         )
-        reg_slot = free_slot_by_rank[jnp.clip(new_rank, 0, K - 1)]
-        slots = jnp.where(matched, slot_m, jnp.where(register, reg_slot, 0)).astype(jnp.int32)
-        oks = matched | register
-        gap = dets[:, 3] - L_last[slots, 3]
-        interps = matched & (gap > interp_gap_factor * dt_gp) & (
-            jnp.round(gap / dt_gp) - 1.0 >= 1.0
-        )
-        new_ids = next_obj_num + new_rank
-        ids = jnp.where(
-            matched, bank.obj_id[slots], jnp.where(register, new_ids, -1)
-        ).astype(jnp.int32)
-        alive = bank.alive.at[jnp.where(register, slots, K)].set(True, mode="drop")
-        obj_id = bank.obj_id.at[jnp.where(register, slots, K)].set(new_ids, mode="drop")
-        birth_seq = bank.birth_seq.at[jnp.where(register, slots, K)].set(
-            next_birth + new_rank, mode="drop"
-        )
-        n_reg = register.sum().astype(jnp.int32)
-        return (
-            alive, obj_id, birth_seq,
-            next_obj_num + n_reg, next_birth + n_reg, ovf,
-            slots, ids, register, oks, interps,
+    )
+    decided = None
+    if use_kernel:
+        from multiple_object_tracking_lidar_tpu.ops.assign_pallas import (
+            assoc_scan_pallas,
         )
 
-    def step(carry, xs):
-        # af: (K, 3) float [last x, last y, last t]; ai: (K, 3) int32
-        # [alive, obj_id, birth_seq] — identity stays integral so ids/births
-        # beyond 2**24 survive a long-lived deployment exactly.
-        #
-        # No dynamic-slice / dynamic-update-slice anywhere: row reads are
-        # masked single-nonzero reduces and row writes are one-hot selects.
-        # The dynamic row ops serialized on TPU (~3-5 us each, 4 per
-        # detection) and made the slow path cost ~890 us/frame at D=64 in
-        # the dense bench scene; the vector form is pure single-VREG VPU
-        # work (profiled round 3).  Reads stay bit-exact: exactly one lane
-        # is selected, so the sums have a single nonzero term.
-        af, ai, nobj, nbirth, ovf = carry
-        det, dv = xs
-
-        dx = det[0] - af[:, 0]
-        dy = det[1] - af[:, 1]
-        dist = jnp.sqrt(dx * dx + dy * dy)
-        alive = ai[:, 0] > 0
-        gate = alive & (dist < thr)
-        if isinstance(allow_match, bool):
-            if not allow_match:
-                gate = gate & False
-        else:
-            gate = gate & allow_b
-        any_match = gate.any()
-
-        slot_m = jnp.argmin(jnp.where(gate, ai[:, 2], _INT_BIG))   # min birth_seq
-        slot_n = jnp.argmin(jnp.where(alive, _INT_BIG, idxK))      # first free
-        bank_full = alive.all()
-        slot = jnp.where(any_match, slot_m, slot_n).astype(jnp.int32)
-        sel = idxK == slot                                         # (K,) one-hot
-
-        t_slot = jnp.sum(jnp.where(sel, af[:, 2], 0))
-        # keep i32: under x64 jnp.sum promotes int32 to int64 (numpy rules)
-        id_slot = jnp.sum(jnp.where(sel, ai[:, 1], 0)).astype(jnp.int32)
-        gap = det[3] - t_slot
-        do_interp = any_match & (gap > interp_gap_factor * dt_gp) & (
-            jnp.round(gap / dt_gp) - 1.0 >= 1.0
+        af0k = jnp.stack(
+            [L_last[:, 0], L_last[:, 1], L_last[:, 3]], axis=1
+        ).astype(jnp.float32)
+        ai0k = jnp.stack(
+            [bank.alive.astype(jnp.int32), bank.obj_id, bank.birth_seq], axis=1
+        )
+        decided = assoc_scan_pallas(
+            af0k,
+            ai0k,
+            dets,
+            det_valid,
+            allow_scalar,
+            next_obj_num.astype(jnp.int32),
+            next_birth.astype(jnp.int32),
+            thr=float(id_threshold),
+            dt_gp=float(dt_gp),
+            interp_gap_factor=float(interp_gap_factor),
+            interpret=jax.default_backend() != "tpu",
         )
 
-        register = dv & ~any_match & ~bank_full
-        matched = dv & any_match
-        write = matched | register
-        ri = register.astype(jnp.int32)
+    if decided is None:
 
-        wf = sel & write
-        af = jnp.where(
-            wf[:, None], jnp.stack([det[0], det[1], det[3]])[None, :], af
-        )
-        wreg = sel & register
-        ai = jnp.where(
-            wreg[:, None],
-            jnp.stack([jnp.ones_like(nobj), nobj, nbirth])[None, :],
-            ai,
-        )
+        dxm = dets[:, 0:1] - L_last[None, :, 0]
+        dym = dets[:, 1:2] - L_last[None, :, 1]
+        distm = jnp.sqrt(dxm * dxm + dym * dym)              # (D, K)
+        gate_m = bank.alive[None, :] & (distm < id_threshold) & allow_b
+        gate_v = gate_m & det_valid[:, None]
 
-        out_id = jnp.where(matched, id_slot, jnp.where(register, nobj, -1))
-        nobj = nobj + ri
-        nbirth = nbirth + ri
-        ovf = ovf + (dv & ~any_match & bank_full).astype(jnp.int32)
-        out_row = jnp.stack(
+        # independence test
+        per_track = gate_v.sum(0)
+        cond_a = (per_track <= 1).all()
+        ddx = dets[:, 0:1] - dets[None, :, 0]
+        ddy = dets[:, 1:2] - dets[None, :, 1]
+        dd = ddx * ddx + ddy * ddy
+        both_valid = det_valid[:, None] & det_valid[None, :]
+        off_diag = ~jnp.eye(D, dtype=bool)
+        cond_b = jnp.where(
+            both_valid & off_diag, dd >= id_threshold * id_threshold, True
+        ).all()
+        independent = (cond_a & cond_b) | ~allow_b
+
+        def fast_fn(_):
+            any_match = gate_m.any(axis=1)
+            slot_m = jnp.argmin(
+                jnp.where(gate_m, bank.birth_seq[None, :], _INT_BIG), axis=1
+            ).astype(jnp.int32)
+            matched = det_valid & any_match
+            want_new = det_valid & ~any_match
+            free = ~bank.alive
+            free_rank = jnp.cumsum(free.astype(jnp.int32)) - 1
+            n_free = free.sum()
+            new_rank = jnp.cumsum(want_new.astype(jnp.int32)) - 1
+            register = want_new & (new_rank < n_free)
+            ovf = (want_new & ~register).sum().astype(jnp.int32)
+            free_slot_by_rank = (
+                jnp.full(K + 1, 0, jnp.int32)
+                .at[jnp.where(free, free_rank, K)]
+                .set(idxK, mode="drop")[:K]
+            )
+            reg_slot = free_slot_by_rank[jnp.clip(new_rank, 0, K - 1)]
+            slots = jnp.where(matched, slot_m, jnp.where(register, reg_slot, 0)).astype(jnp.int32)
+            oks = matched | register
+            gap = dets[:, 3] - L_last[slots, 3]
+            interps = matched & (gap > interp_gap_factor * dt_gp) & (
+                jnp.round(gap / dt_gp) - 1.0 >= 1.0
+            )
+            new_ids = next_obj_num + new_rank
+            ids = jnp.where(
+                matched, bank.obj_id[slots], jnp.where(register, new_ids, -1)
+            ).astype(jnp.int32)
+            alive = bank.alive.at[jnp.where(register, slots, K)].set(True, mode="drop")
+            obj_id = bank.obj_id.at[jnp.where(register, slots, K)].set(new_ids, mode="drop")
+            birth_seq = bank.birth_seq.at[jnp.where(register, slots, K)].set(
+                next_birth + new_rank, mode="drop"
+            )
+            n_reg = register.sum().astype(jnp.int32)
+            return (
+                alive, obj_id, birth_seq,
+                next_obj_num + n_reg, next_birth + n_reg, ovf,
+                slots, ids, register, oks, interps,
+            )
+
+        def step(carry, xs):
+            # af: (K, 3) float [last x, last y, last t]; ai: (K, 3) int32
+            # [alive, obj_id, birth_seq] — identity stays integral so ids/births
+            # beyond 2**24 survive a long-lived deployment exactly.
+            #
+            # No dynamic-slice / dynamic-update-slice anywhere: row reads are
+            # masked single-nonzero reduces and row writes are one-hot selects.
+            # The dynamic row ops serialized on TPU (~3-5 us each, 4 per
+            # detection) and made the slow path cost ~890 us/frame at D=64 in
+            # the dense bench scene; the vector form is pure single-VREG VPU
+            # work (profiled round 3).  Reads stay bit-exact: exactly one lane
+            # is selected, so the sums have a single nonzero term.
+            af, ai, nobj, nbirth, ovf = carry
+            det, dv = xs
+
+            dx = det[0] - af[:, 0]
+            dy = det[1] - af[:, 1]
+            dist = jnp.sqrt(dx * dx + dy * dy)
+            alive = ai[:, 0] > 0
+            gate = alive & (dist < thr)
+            if isinstance(allow_match, bool):
+                if not allow_match:
+                    gate = gate & False
+            else:
+                gate = gate & allow_b
+            any_match = gate.any()
+
+            slot_m = jnp.argmin(jnp.where(gate, ai[:, 2], _INT_BIG))   # min birth_seq
+            slot_n = jnp.argmin(jnp.where(alive, _INT_BIG, idxK))      # first free
+            bank_full = alive.all()
+            slot = jnp.where(any_match, slot_m, slot_n).astype(jnp.int32)
+            sel = idxK == slot                                         # (K,) one-hot
+
+            t_slot = jnp.sum(jnp.where(sel, af[:, 2], 0))
+            # keep i32: under x64 jnp.sum promotes int32 to int64 (numpy rules)
+            id_slot = jnp.sum(jnp.where(sel, ai[:, 1], 0)).astype(jnp.int32)
+            gap = det[3] - t_slot
+            do_interp = any_match & (gap > interp_gap_factor * dt_gp) & (
+                jnp.round(gap / dt_gp) - 1.0 >= 1.0
+            )
+
+            register = dv & ~any_match & ~bank_full
+            matched = dv & any_match
+            write = matched | register
+            ri = register.astype(jnp.int32)
+
+            wf = sel & write
+            af = jnp.where(
+                wf[:, None], jnp.stack([det[0], det[1], det[3]])[None, :], af
+            )
+            wreg = sel & register
+            ai = jnp.where(
+                wreg[:, None],
+                jnp.stack([jnp.ones_like(nobj), nobj, nbirth])[None, :],
+                ai,
+            )
+
+            out_id = jnp.where(matched, id_slot, jnp.where(register, nobj, -1))
+            nobj = nobj + ri
+            nbirth = nbirth + ri
+            ovf = ovf + (dv & ~any_match & bank_full).astype(jnp.int32)
+            out_row = jnp.stack(
+                [
+                    slot,
+                    out_id,
+                    ri,
+                    write.astype(jnp.int32),
+                    (do_interp & write).astype(jnp.int32),
+                ]
+            )
+            return (af, ai, nobj, nbirth, ovf), out_row
+
+        af0 = jnp.stack(
             [
-                slot,
-                out_id,
-                ri,
-                write.astype(jnp.int32),
-                (do_interp & write).astype(jnp.int32),
-            ]
+                bank.window[:, L - 1, 0].astype(fdt),
+                bank.window[:, L - 1, 1].astype(fdt),
+                bank.window[:, L - 1, 3].astype(fdt),
+            ],
+            axis=1,
         )
-        return (af, ai, nobj, nbirth, ovf), out_row
+        ai0 = jnp.stack(
+            [bank.alive.astype(jnp.int32), bank.obj_id, bank.birth_seq], axis=1
+        )
+        carry0 = (
+            af0,
+            ai0,
+            next_obj_num.astype(jnp.int32),
+            next_birth.astype(jnp.int32),
+            next_obj_num.astype(jnp.int32) * 0,  # ovf seed: varying-typed so the
+            # scan carry type matches its (data-derived) output under shard_map
+        )
+        def slow_fn(_):
+            (_, ai_fin, nobj_f, nbirth_f, ovf_f), outs = jax.lax.scan(
+                step, carry0, (dets, det_valid), unroll=8
+            )
+            return (
+                ai_fin[:, 0] > 0,
+                ai_fin[:, 1],
+                ai_fin[:, 2],
+                nobj_f,
+                nbirth_f,
+                ovf_f,
+                outs[:, 0],
+                outs[:, 1],
+                outs[:, 2] > 0,
+                outs[:, 3] > 0,
+                outs[:, 4] > 0,
+            )
 
-    af0 = jnp.stack(
-        [
-            bank.window[:, L - 1, 0].astype(fdt),
-            bank.window[:, L - 1, 1].astype(fdt),
-            bank.window[:, L - 1, 3].astype(fdt),
-        ],
-        axis=1,
-    )
-    ai0 = jnp.stack(
-        [bank.alive.astype(jnp.int32), bank.obj_id, bank.birth_seq], axis=1
-    )
-    carry0 = (
-        af0,
-        ai0,
-        next_obj_num.astype(jnp.int32),
-        next_birth.astype(jnp.int32),
-        next_obj_num.astype(jnp.int32) * 0,  # ovf seed: varying-typed so the
-        # scan carry type matches its (data-derived) output under shard_map
-    )
-    def slow_fn(_):
-        (_, ai_fin, nobj_f, nbirth_f, ovf_f), outs = jax.lax.scan(
-            step, carry0, (dets, det_valid), unroll=8
-        )
-        return (
-            ai_fin[:, 0] > 0,
-            ai_fin[:, 1],
-            ai_fin[:, 2],
-            nobj_f,
-            nbirth_f,
-            ovf_f,
-            outs[:, 0],
-            outs[:, 1],
-            outs[:, 2] > 0,
-            outs[:, 3] > 0,
-            outs[:, 4] > 0,
-        )
-
-    if cond_branch:
-        decided = jax.lax.cond(independent, fast_fn, slow_fn, None)
-    else:
-        decided = jax.tree.map(
-            lambda a, b: jnp.where(independent, a, b), fast_fn(None), slow_fn(None)
-        )
+        if cond_branch:
+            decided = jax.lax.cond(independent, fast_fn, slow_fn, None)
+        else:
+            decided = jax.tree.map(
+                lambda a, b: jnp.where(independent, a, b), fast_fn(None), slow_fn(None)
+            )
     (alive, obj_id, birth_seq, nobj, nbirth, ovf, slots, ids, news, oks, interps) = decided
 
     window, m0 = apply_window_updates(bank, dets, slots, oks, news, interps, dt_gp)

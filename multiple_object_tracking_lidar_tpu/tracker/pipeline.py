@@ -621,7 +621,10 @@ def track_step(
         config.interp_gap_factor,
         allow_match=was_init,  # first frame registers without gating (cpp:153-156)
         **(
-            {"cond_branch": config.assoc_cond_branch}
+            {
+                "cond_branch": config.assoc_cond_branch,
+                "backend": config.assoc_backend,
+            }
             if config.association == "greedy"
             else {}
         ),

@@ -24,6 +24,11 @@ import numpy as np
 
 
 def main() -> None:
+    # force the streaming dispatch mode first: in the deferred-enqueue mode
+    # block_until_ready does not synchronize, so the traced window would not
+    # contain the executions (docs/PERFORMANCE.md round-3 dispatch modes)
+    np.asarray(jnp.zeros((), jnp.int32) + 1)
+
     case = sys.argv[1] if len(sys.argv) > 1 else "headline"
     dispatch = sys.argv[2] if len(sys.argv) > 2 else "multi"
     top_n = int(sys.argv[3]) if len(sys.argv) > 3 else 40
@@ -59,7 +64,7 @@ def main() -> None:
     state = tracker.init_state()
     for _ in range(3):
         state, out = run(state)
-    jax.block_until_ready(out)
+    np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
 
     logdir = "/tmp/motl_profile_bench"
     os.system(f"rm -rf {logdir}")
@@ -67,7 +72,7 @@ def main() -> None:
     n_scans = 10
     for _ in range(n_scans):
         state, out = run(state)
-    jax.block_until_ready(out)
+    np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
     jax.profiler.stop_trace()
 
     from tensorflow.tsl.profiler.protobuf import xplane_pb2
