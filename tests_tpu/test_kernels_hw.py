@@ -189,3 +189,61 @@ def test_stacked_multi_equals_per_frame_hw(rng):
     np.testing.assert_array_equal(
         np.asarray(sm.bank.window), np.asarray(s1.bank.window)
     )
+
+
+def test_assoc_scan_kernel_hw(rng):
+    """VMEM association-scan kernel compiled for the real Mosaic target ==
+    jnp lax.scan decisions, on conflict-heavy frames (duplicate gating,
+    in-frame register-then-match, interp gaps).  CPU-side parity lives in
+    tests/test_assign_pallas.py; this asserts the on-device compile."""
+    import jax.numpy as jnp
+
+    from multiple_object_tracking_lidar_tpu.ops.assign import associate_and_update
+    from multiple_object_tracking_lidar_tpu.tracker.state import init_state
+
+    K, L = 16, 6
+    st = init_state(K, L, jnp.float32)
+    bank = st.bank
+    n_alive = 6
+    window = np.zeros((K, L, 4), np.float32)
+    pos = rng.uniform(-2, 2, (n_alive, 2)).astype(np.float32)
+    window[:n_alive, :, 0] = pos[:, 0:1]
+    window[:n_alive, :, 1] = pos[:, 1:2]
+    bank = bank._replace(
+        alive=jnp.asarray(np.arange(K) < n_alive),
+        obj_id=jnp.asarray(np.where(np.arange(K) < n_alive, np.arange(K), -1).astype(np.int32)),
+        birth_seq=jnp.asarray(np.where(np.arange(K) < n_alive, np.arange(K), 2**30).astype(np.int32)),
+        window=jnp.asarray(window),
+    )
+    D = 24
+    dets = np.zeros((D, 4), np.float32)
+    dets[:, :2] = np.repeat(pos, 4, axis=0)[:D] + rng.normal(0, 0.2, (D, 2))
+    dets[:, 3] = rng.choice([0.1, 0.55], D)
+    dv = rng.uniform(size=D) > 0.15
+    args = (
+        bank,
+        jnp.int32(n_alive),
+        jnp.int32(n_alive),
+        jnp.asarray(dets),
+        jnp.asarray(dv),
+    )
+    kw = dict(id_threshold=0.5, dt_gp=0.1)
+    a = associate_and_update(*args, backend="jnp", **kw)
+    b = associate_and_update(*args, backend="pallas", **kw)
+    ok = np.asarray(a.det_ok)
+    for name in a._fields:
+        x, y = getattr(a, name), getattr(b, name)
+        if name == "bank":
+            for bn in x._fields:
+                np.testing.assert_array_equal(
+                    np.asarray(getattr(x, bn)), np.asarray(getattr(y, bn)),
+                    err_msg=f"bank.{bn}",
+                )
+        elif name == "det_slot":
+            np.testing.assert_array_equal(
+                np.asarray(x)[ok], np.asarray(y)[ok], err_msg="det_slot[ok]"
+            )
+        else:
+            np.testing.assert_array_equal(
+                np.asarray(x), np.asarray(y), err_msg=name
+            )
