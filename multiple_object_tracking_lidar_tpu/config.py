@@ -165,6 +165,16 @@ class TrackerConfig:
                                          # per-cell static table applies, jnp
                                          # stencil otherwise) | "pallas" |
                                          # "jnp"
+    voxel_quant: str = "exact"           # onehot-accumulator coordinate
+                                         # precision: "exact" (2 int8 digits
+                                         # per axis, centroids match f32 to
+                                         # ~1e-6) | "fast" (1 digit: 4 MXU
+                                         # streams instead of 7, ~150 us less
+                                         # per frame; quantizes each point to
+                                         # <= leaf/504 — ~0.2 mm xy at the
+                                         # 0.1 m leaf, far below LiDAR noise).
+                                         # Both are bit-deterministic integer
+                                         # sums; non-TPU paths ignore this.
     assoc_backend: str = "auto"          # greedy association engine: "auto"
                                          # (VMEM scan kernel on TPU when
                                          # K,D <= 128 and dtype=f32; jnp
@@ -219,6 +229,8 @@ class TrackerConfig:
             raise ValueError(f"unknown grid_cc {self.grid_cc!r}")
         if self.assoc_backend not in ("auto", "pallas", "jnp"):
             raise ValueError(f"unknown assoc_backend {self.assoc_backend!r}")
+        if self.voxel_quant not in ("exact", "fast"):
+            raise ValueError(f"unknown voxel_quant {self.voxel_quant!r}")
 
     def replace(self, **kw: Any) -> "TrackerConfig":
         return dataclasses.replace(self, **kw)

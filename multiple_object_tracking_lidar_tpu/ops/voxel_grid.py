@@ -81,6 +81,7 @@ def voxel_accumulate_onehot_cm(
     leaf_z: float,
     use_pallas: bool | None = None,
     block: int | None = None,
+    quant: str = "exact",
 ) -> jnp.ndarray:
     """Dense CHANNEL-MAJOR (4, n_cells) [sum_x, sum_y, sum_z, count]
     accumulator, built with one-hot matmuls (no scatter, no sort).
@@ -88,7 +89,14 @@ def voxel_accumulate_onehot_cm(
     ``use_pallas=None`` auto-selects: the fused VMEM kernel on TPU (one-hots
     built in VMEM per block — the XLA lowering materializes an (N, 10*gx)
     bf16 operand in HBM, ~100 MB at bench shapes), the jnp lowering
-    elsewhere.  Results agree to f32 summation order."""
+    elsewhere.  Results agree to f32 summation order.
+
+    ``quant="fast"`` selects the 4-channel single-digit kernel (v4): one
+    int8 digit per axis instead of two, so the per-point coordinate is
+    quantized to leaf/2^(k+1) with 2^k the largest power of two holding
+    leaf/2*2^k <= 126 (~0.12 mm xy / ~3.9 mm z at the 0.05 m bench leaf —
+    far below sensor noise and the voxel size itself).  Sums stay
+    bit-deterministic integers; the MXU dot count drops 7 -> 4."""
     gx, gy, gz = grid_shape(scene, leaf_xy, leaf_z)
     gyz = gy * gz
     bx = math.floor(scene.x_min / leaf_xy)
@@ -118,6 +126,10 @@ def voxel_accumulate_onehot_cm(
             and block is not None
         )
     if use_pallas and block is not None:
+        if quant == "fast":
+            return _accumulate_pallas_v4(
+                points, mask, scene, leaf_xy, leaf_z, block
+            ).astype(points.dtype)
         # v3 kernel: quantize + mask-fold in-kernel from the raw (N, 3)
         # points + (N, 1) mask operands, int8 fixed-point digit channels
         # (bit-deterministic integer sums; see kernel doc).  Its two balanced
@@ -544,6 +556,256 @@ def _accumulate_pallas_v3(
     return jnp.stack([sx, sy, sz, cnt], axis=0)       # (4, n_cells)
 
 
+def _v4_shifts(leaf_xy: float, leaf_z: float) -> tuple[int, int]:
+    """Largest power-of-two fixed-point shifts whose single int8 digit holds
+    the centered cell-relative frac: leaf/2 * 2^k <= 126 (one count of margin
+    for the rounding step plus floor-boundary f32 slop; the kernel clamps to
+    [-127, 127] as well, so a pathological boundary point saturates instead
+    of wrapping)."""
+    kx = int(math.floor(math.log2(252.0 / leaf_xy)))
+    kz = int(math.floor(math.log2(252.0 / leaf_z)))
+    return kx, kz
+
+
+def _acc_kernel_v4(
+    pts_ref, msk_ref, out_ref, *, block, gx, gy, gz, w1,
+    inv_xy, inv_z, leaf_xy, leaf_z, bx, by, bz, kx, kz
+):
+    _acc_v4_body(
+        pts_ref[...], msk_ref[...], out_ref, (), pl.program_id(0) == 0,
+        block=block, gx=gx, gy=gy, gz=gz, w1=w1, inv_xy=inv_xy, inv_z=inv_z,
+        leaf_xy=leaf_xy, leaf_z=leaf_z, bx=bx, by=by, bz=bz, kx=kx, kz=kz,
+    )
+
+
+def _acc_kernel_v4_stacked(
+    pts_ref, msk_ref, out_ref, *, block, gx, gy, gz, w1,
+    inv_xy, inv_z, leaf_xy, leaf_z, bx, by, bz, kx, kz
+):
+    """Batched single-digit variant: grid (S, N//block), one revolving
+    output per frame — same rationale as _acc_kernel_v3_stacked (the big
+    (S, N, 3) operand's tiled->linear relayout is paid once per dispatch
+    instead of ~90 us of slice+copy per scan iteration)."""
+    _acc_v4_body(
+        pts_ref[0], msk_ref[0], out_ref, (0,), pl.program_id(1) == 0,
+        block=block, gx=gx, gy=gy, gz=gz, w1=w1, inv_xy=inv_xy, inv_z=inv_z,
+        leaf_xy=leaf_xy, leaf_z=leaf_z, bx=bx, by=by, bz=bz, kx=kx, kz=kz,
+    )
+
+
+def _acc_v4_body(
+    p, m, out_ref, lead, first, *, block, gx, gy, gz, w1,
+    inv_xy, inv_z, leaf_xy, leaf_z, bx, by, bz, kx, kz
+):
+    """Single-digit variant of the v3 histogram step: 4 channels
+    (frac_x, frac_y, frac_z, count) instead of 7.  Identical structure —
+    factored 128*u+v one-hots, int8 MXU products, i32 accumulation — but the
+    cell-relative frac rides as ONE int8 digit at the per-leaf shift from
+    `_v4_shifts`, quantizing each coordinate to 2^-(k+1) (<= leaf/504).
+    Sums remain bit-deterministic integers; the MXU stream count (the
+    dominant in-kernel cost, ~53 us/channel at bench shapes measured from
+    xplane traces) drops from 7 to 4."""
+    f32 = jnp.float32
+    i32 = jnp.int32
+    lane3 = jax.lax.broadcasted_iota(i32, (block, 3), 1)
+    inv3 = jnp.where(lane3 == 2, inv_z, inv_xy).astype(f32)
+    b3 = (
+        jnp.where(lane3 == 0, bx, jnp.where(lane3 == 1, by, bz))
+    ).astype(i32)
+    g3 = (
+        jnp.where(lane3 == 0, gx, jnp.where(lane3 == 1, gy, gz))
+    ).astype(i32)
+    i3 = jnp.floor(p * inv3).astype(i32) - b3         # (B, 3)
+    ok3 = (i3 >= 0) & (i3 < g3) & (p == p)            # NaN coords drop here
+    ok = jnp.all(ok3, axis=1, keepdims=True) & (m > 0.0)  # (B, 1)
+
+    lin = i3[:, 0:1] + gx * (i3[:, 1:2] + gy * i3[:, 2:3])
+    lin = jnp.where(ok, lin, -1)
+    u = jax.lax.shift_right_arithmetic(lin, jnp.int32(7))
+    v = lin & 127
+
+    iota_u = jax.lax.broadcasted_iota(i32, (block, w1), 1)
+    iota_v = jax.lax.broadcasted_iota(i32, (block, 128), 1)
+    U = (u == iota_u).astype(i32)
+    V = (v == iota_v).astype(jnp.int8)
+
+    leaf3 = jnp.where(lane3 == 2, leaf_z, leaf_xy).astype(f32)
+    s3 = jnp.where(lane3 == 2, float(2.0**kz), float(2.0**kx)).astype(f32)
+    cell0 = (i3 + b3).astype(f32) * leaf3
+    frac = p - cell0 - 0.5 * leaf3
+    fq = jnp.round(jnp.where(ok, frac, 0.0) * s3).astype(i32)
+    fq = jnp.clip(fq, -127, 127)
+    digs = [fq[:, 0:1], fq[:, 1:2], fq[:, 2:3], ok.astype(i32)]
+
+    for c in range(4):
+        Xc = (U * digs[c]).astype(jnp.int8)           # (B, w1) int8
+        acc_c = jax.lax.dot_general(
+            Xc, V, (((0,), (0,)), ((), ())), preferred_element_type=i32
+        )                                             # (w1, 128) i32
+        at = lead + (c,)
+
+        @pl.when(first)
+        def _():
+            out_ref[at] = acc_c
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            out_ref[at] = out_ref[at] + acc_c
+
+
+def _accumulate_pallas_v4(
+    points: jnp.ndarray,   # (N, 3) f32 RAW frame points
+    mask: jnp.ndarray,     # (N,) or (N, 1) validity; nonzero = keep
+    scene: SceneBounds,
+    leaf_xy: float,
+    leaf_z: float,
+    block: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """(4, n_cells) channel-major accumulator via the single-digit int8
+    kernel (quant="fast").  Counts are exact; coordinate sums quantize each
+    point to leaf/2^(k+1) (~0.12 mm xy / ~3.9 mm z at the 0.05 m bench leaf)
+    and stay bit-deterministic across compiles."""
+    gx, gy, gz = grid_shape(scene, leaf_xy, leaf_z)
+    n_cells = gx * gy * gz
+    w1 = -(-n_cells // 128)
+    bx = math.floor(scene.x_min / leaf_xy)
+    by = math.floor(scene.y_min / leaf_xy)
+    bz = math.floor(scene.z_min / leaf_z)
+    kx, kz = _v4_shifts(leaf_xy, leaf_z)
+    n = points.shape[0]
+
+    out = pl.pallas_call(
+        functools.partial(
+            _acc_kernel_v4,
+            block=block,
+            gx=gx,
+            gy=gy,
+            gz=gz,
+            w1=w1,
+            inv_xy=float(1.0 / leaf_xy),
+            inv_z=float(1.0 / leaf_z),
+            leaf_xy=float(leaf_xy),
+            leaf_z=float(leaf_z),
+            bx=bx,
+            by=by,
+            bz=bz,
+            kx=kx,
+            kz=kz,
+        ),
+        grid=(n // block,),
+        in_specs=[
+            pl.BlockSpec((block, 3), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, 1), lambda b: (b, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (4, w1, 128), lambda b: (0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((4, w1, 128), jnp.int32),
+        interpret=interpret,
+    )(points.astype(jnp.float32), mask.astype(jnp.float32).reshape(n, 1))
+
+    S = out.reshape(4, w1 * 128)[:, :n_cells].astype(jnp.float32)
+    idx = jnp.arange(n_cells, dtype=jnp.int32)
+    ix = idx % gx
+    iyz = idx // gx
+    iy = iyz % gy
+    iz = iyz // gy
+    cnt = S[3]
+    cx = (bx + ix).astype(jnp.float32) * jnp.float32(leaf_xy)
+    cy = (by + iy).astype(jnp.float32) * jnp.float32(leaf_xy)
+    cz = (bz + iz).astype(jnp.float32) * jnp.float32(leaf_z)
+    inv_xyq = jnp.float32(2.0**-kx)
+    inv_zq = jnp.float32(2.0**-kz)
+    half_xy = jnp.float32(0.5 * leaf_xy)
+    half_z = jnp.float32(0.5 * leaf_z)
+    sx = cnt * (cx + half_xy) + S[0] * inv_xyq
+    sy = cnt * (cy + half_xy) + S[1] * inv_xyq
+    sz = cnt * (cz + half_z) + S[2] * inv_zq
+    return jnp.stack([sx, sy, sz, cnt], axis=0)       # (4, n_cells)
+
+
+def _accumulate_pallas_v4_stacked(
+    points: jnp.ndarray,   # (S, N, 3) f32 RAW stacked frame points
+    mask: jnp.ndarray,     # (S, N) validity; nonzero = keep
+    scene: SceneBounds,
+    leaf_xy: float,
+    leaf_z: float,
+    block: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """(S, 4, n_cells) channel-major single-digit accumulators for a whole
+    frame stack in ONE kernel call; per-frame results are bit-identical to
+    _accumulate_pallas_v4.  Consumed by bind_env_multi's hoisted-accumulate
+    scan (the (S, N, 3) relayout is paid once per dispatch instead of ~90 us
+    of slice+copy per scan iteration — docs/PERFORMANCE.md round 3)."""
+    block = min(block, 2048)  # cross-frame double buffering, see v3_stacked
+    gx, gy, gz = grid_shape(scene, leaf_xy, leaf_z)
+    n_cells = gx * gy * gz
+    w1 = -(-n_cells // 128)
+    bx = math.floor(scene.x_min / leaf_xy)
+    by = math.floor(scene.y_min / leaf_xy)
+    bz = math.floor(scene.z_min / leaf_z)
+    kx, kz = _v4_shifts(leaf_xy, leaf_z)
+    s, n = points.shape[0], points.shape[1]
+
+    out = pl.pallas_call(
+        functools.partial(
+            _acc_kernel_v4_stacked,
+            block=block,
+            gx=gx,
+            gy=gy,
+            gz=gz,
+            w1=w1,
+            inv_xy=float(1.0 / leaf_xy),
+            inv_z=float(1.0 / leaf_z),
+            leaf_xy=float(leaf_xy),
+            leaf_z=float(leaf_z),
+            bx=bx,
+            by=by,
+            bz=bz,
+            kx=kx,
+            kz=kz,
+        ),
+        grid=(s, n // block),
+        in_specs=[
+            pl.BlockSpec(
+                (1, block, 3), lambda si, b: (si, b, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, block, 1), lambda si, b: (si, b, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 4, w1, 128), lambda si, b: (si, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((s, 4, w1, 128), jnp.int32),
+        interpret=interpret,
+    )(
+        points.astype(jnp.float32),
+        mask.astype(jnp.float32).reshape(s, n, 1),
+    )
+
+    Sd = out.reshape(s, 4, w1 * 128)[:, :, :n_cells].astype(jnp.float32)
+    idx = jnp.arange(n_cells, dtype=jnp.int32)
+    ix = idx % gx
+    iyz = idx // gx
+    iy = iyz % gy
+    iz = iyz // gy
+    cnt = Sd[:, 3]
+    cx = (bx + ix).astype(jnp.float32) * jnp.float32(leaf_xy)
+    cy = (by + iy).astype(jnp.float32) * jnp.float32(leaf_xy)
+    cz = (bz + iz).astype(jnp.float32) * jnp.float32(leaf_z)
+    inv_xyq = jnp.float32(2.0**-kx)
+    inv_zq = jnp.float32(2.0**-kz)
+    half_xy = jnp.float32(0.5 * leaf_xy)
+    half_z = jnp.float32(0.5 * leaf_z)
+    sx = cnt * (cx + half_xy)[None] + Sd[:, 0] * inv_xyq
+    sy = cnt * (cy + half_xy)[None] + Sd[:, 1] * inv_xyq
+    sz = cnt * (cz + half_z)[None] + Sd[:, 2] * inv_zq
+    return jnp.stack([sx, sy, sz, cnt], axis=1)       # (S, 4, n_cells)
+
+
 def _accumulate_pallas_v3_stacked(
     points: jnp.ndarray,   # (S, N, 3) f32 RAW stacked frame points
     mask: jnp.ndarray,     # (S, N) validity; nonzero = keep
@@ -557,10 +819,10 @@ def _accumulate_pallas_v3_stacked(
     ONE kernel call (see _acc_kernel_v3_stacked).  Per-frame results are
     bit-identical to _accumulate_pallas_v3.
 
-    EXPERIMENTAL — not wired into any dispatch path (ADVICE r2):
-    bind_env_multi scans the per-frame accumulate inside its fused step; a
-    pipelined dispatch that hoists the whole frame stack's accumulation into
-    this one kernel call is the intended consumer.  Parity is pinned by
+    Consumed by bind_env_multi (voxel_quant="exact"): hoisting the whole
+    dispatch's accumulation out of the scan pays the (S, N, 3) operand's
+    tiled->linear relayout once instead of ~90 us of slice+copy per scan
+    iteration.  Parity is pinned by
     tests/test_grid.py::test_stacked_accumulator_bit_identical.
 
     NB: the stacked grid double-buffers input blocks across the frame

@@ -171,17 +171,74 @@ class Tracker:
         stream per dispatch via `lax.scan` — bit-identical to calling step()
         frame by frame (same sequential state chain), with per-dispatch host/
         RPC overhead amortized across the batch.  Frames arrive stacked on a
-        leading axis: ``multi_step(state, frames) -> (state, outputs)``."""
+        leading axis: ``multi_step(state, frames) -> (state, outputs)``.
+
+        On the onehot+grid TPU path the voxel accumulation of ALL frames is
+        hoisted out of the scan into one stacked kernel call (per-frame
+        results bit-identical — tests/test_grid.py): scanning the per-frame
+        kernel instead pays ~90 us/frame of tiled->linear relayout copies on
+        the sliced (N, 3) operand (docs/PERFORMANCE.md round 3)."""
         cfg, gains = self.config, self.gains_xy
         env_dev, table_dev = self._env_args(env)
 
-        def multi(state, frames, env_a, table_a):
-            def body(s, fr):
-                return _step_impl(
-                    s, Frame(*fr), env_a, table_a, config=cfg, gains_xy=gains
-                )
+        hoist_acc = (
+            cfg.voxel_mode == "onehot"
+            and cfg.cluster_backend == "grid"
+            and jnp.dtype(cfg.dtype) == jnp.float32
+            and jax.default_backend() == "tpu"
+        )
 
-            return jax.lax.scan(body, state, tuple(frames))
+        if hoist_acc:
+            from multiple_object_tracking_lidar_tpu.ops.voxel_grid import (
+                _accumulate_pallas_v3_stacked,
+                _accumulate_pallas_v4_stacked,
+                _pick_block,
+                _v3_leaf_ok,
+            )
+
+            leaf, leaf_z = cfg.voxel_leaf_size, cfg.leaf_z
+            if cfg.voxel_quant == "fast":
+                stacked_acc = _accumulate_pallas_v4_stacked
+            elif _v3_leaf_ok(leaf, leaf_z):
+                stacked_acc = _accumulate_pallas_v3_stacked
+            else:
+                stacked_acc = None
+            hoist_acc = (
+                stacked_acc is not None
+                and _pick_block(cfg.caps.n_max_points) is not None
+            )
+
+        if hoist_acc:
+
+            def multi(state, frames, env_a, table_a):
+                accs = stacked_acc(
+                    frames.points,
+                    frames.mask,
+                    cfg.scene,
+                    leaf,
+                    leaf_z,
+                    _pick_block(cfg.caps.n_max_points),
+                )
+                n_pts = frames.mask.sum(axis=1)
+
+                def body(s, xs):
+                    acc, t, npts = xs
+                    p = _perceive_from_dense_acc(
+                        acc, t, npts, env_a, config=cfg, table=table_a
+                    )
+                    return track_step(s, p, config=cfg, gains_xy=gains)
+
+                return jax.lax.scan(body, state, (accs, frames.t, n_pts))
+
+        else:
+
+            def multi(state, frames, env_a, table_a):
+                def body(s, fr):
+                    return _step_impl(
+                        s, Frame(*fr), env_a, table_a, config=cfg, gains_xy=gains
+                    )
+
+                return jax.lax.scan(body, state, tuple(frames))
 
         multi_jit = jax.jit(multi, donate_argnums=(0,) if donate_state else ())
         return lambda state, frames: multi_jit(state, frames, env_dev, table_dev)
@@ -511,7 +568,12 @@ def perceive(
             )
         elif config.voxel_mode == "onehot":
             acc_cm = voxel_accumulate_onehot_cm(
-                pts, frame.mask, config.scene, config.voxel_leaf_size, config.leaf_z
+                pts,
+                frame.mask,
+                config.scene,
+                config.voxel_leaf_size,
+                config.leaf_z,
+                quant=config.voxel_quant,
             )
         else:
             acc_cm = voxel_accumulate(

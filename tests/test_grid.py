@@ -686,6 +686,45 @@ def test_v3_accumulator_matches_jnp(rng):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(got2))
 
 
+def test_v4_accumulator_quant_bound(rng):
+    """Single-digit (quant="fast") accumulator (interpret): counts
+    integer-exact, per-cell centroids within the documented quantization
+    bound leaf/2^(k+1) per axis, and bit-deterministic."""
+    from multiple_object_tracking_lidar_tpu.ops.voxel_grid import (
+        _accumulate_pallas_v4,
+        _v4_shifts,
+        voxel_accumulate_onehot_cm,
+    )
+
+    n = 1024
+    r = np.random.default_rng(23)
+    pts = np.stack(
+        [r.uniform(-3, 3, n), r.uniform(-2, 7, n), r.uniform(-0.5, 2.5, n)],
+        axis=1,
+    ).astype(np.float32)
+    mask = r.random(n) < 0.9
+    ref = voxel_accumulate_onehot_cm(
+        jnp.asarray(pts), jnp.asarray(mask), SCENE, LEAF, LEAF_Z, use_pallas=False
+    )
+    got = _accumulate_pallas_v4(
+        jnp.asarray(pts), jnp.asarray(mask), SCENE, LEAF, LEAF_Z,
+        block=512, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(got[3]), np.asarray(ref[3]))
+    cnt = np.maximum(np.asarray(ref[3]), 1)
+    cd = np.abs(np.asarray(got[:3]) - np.asarray(ref[:3])) / cnt
+    kx, kz = _v4_shifts(LEAF, LEAF_Z)
+    # half a quantization step + f32 slop per point; centroids are means of
+    # per-point errors so the same bound holds
+    assert cd[:2].max() < 2.0 ** -(kx + 1) + 1e-5
+    assert cd[2].max() < 2.0 ** -(kz + 1) + 1e-5
+    got2 = _accumulate_pallas_v4(
+        jnp.asarray(pts), jnp.asarray(mask), SCENE, LEAF, LEAF_Z,
+        block=512, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(got2))
+
+
 def test_centroid_pallas_matches_table_path(rng):
     """The VMEM circumcenter kernel (interpret) == the jnp table path on
     grid-like coordinates (exact tie-break agreement)."""
@@ -737,6 +776,33 @@ def test_stacked_accumulator_bit_identical(rng):
     )
     for k in range(s):
         ref = _accumulate_pallas_v3(
+            jnp.asarray(pts[k]), jnp.asarray(mask[k]), SCENE, LEAF, LEAF_Z,
+            block=512, interpret=True,
+        )
+        np.testing.assert_array_equal(np.asarray(got[k]), np.asarray(ref))
+
+
+def test_stacked_accumulator_v4_bit_identical(rng):
+    """The batched single-digit (quant="fast") accumulator == the per-frame
+    v4 kernel, bit-for-bit (integer digit sums)."""
+    from multiple_object_tracking_lidar_tpu.ops.voxel_grid import (
+        _accumulate_pallas_v4,
+        _accumulate_pallas_v4_stacked,
+    )
+
+    r = np.random.default_rng(37)
+    s, n = 3, 1024
+    pts = np.stack(
+        [r.uniform(-3, 3, (s, n)), r.uniform(-2, 7, (s, n)), r.uniform(-0.5, 2.5, (s, n))],
+        axis=2,
+    ).astype(np.float32)
+    mask = r.random((s, n)) < 0.9
+    got = _accumulate_pallas_v4_stacked(
+        jnp.asarray(pts), jnp.asarray(mask), SCENE, LEAF, LEAF_Z,
+        block=512, interpret=True,
+    )
+    for k in range(s):
+        ref = _accumulate_pallas_v4(
             jnp.asarray(pts[k]), jnp.asarray(mask[k]), SCENE, LEAF, LEAF_Z,
             block=512, interpret=True,
         )

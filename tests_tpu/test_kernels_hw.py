@@ -39,6 +39,29 @@ def test_v3_accumulator_hw(rng):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(got2))
 
 
+def test_v4_accumulator_hw(rng):
+    """Single-digit (voxel_quant="fast") kernel on hardware: counts exact,
+    centroids within the documented per-axis quantization bound,
+    bit-deterministic across executions."""
+    from multiple_object_tracking_lidar_tpu.ops.voxel_grid import (
+        _accumulate_pallas_v4,
+        _v4_shifts,
+        voxel_accumulate_onehot_cm,
+    )
+
+    pts, mask = _points(rng, 8192)
+    ref = voxel_accumulate_onehot_cm(pts, mask, SCENE, LEAF, LEAF_Z, use_pallas=False)
+    got = _accumulate_pallas_v4(pts, mask, SCENE, LEAF, LEAF_Z, block=2048)
+    np.testing.assert_array_equal(np.asarray(got[3]), np.asarray(ref[3]))
+    cnt = np.maximum(np.asarray(ref[3]), 1)
+    cd = np.abs(np.asarray(got[:3]) - np.asarray(ref[:3])) / cnt
+    kx, kz = _v4_shifts(LEAF, LEAF_Z)
+    assert cd[:2].max() < 2.0 ** -(kx + 1) + 1e-5
+    assert cd[2].max() < 2.0 ** -(kz + 1) + 1e-5
+    got2 = _accumulate_pallas_v4(pts, mask, SCENE, LEAF, LEAF_Z, block=2048)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(got2))
+
+
 def test_fused_finalize_static_cc_hw(rng):
     from multiple_object_tracking_lidar_tpu.ops.cluster_grid import (
         connected_components_grid,
@@ -129,13 +152,12 @@ def test_centroid_kernel_hw(rng):
 
 
 def test_stacked_multi_equals_per_frame_hw(rng):
-    """bind_env_multi (lax.scan of full steps) == frame-by-frame bind_env
-    on-device: bit-identical tracking chain.  (ADVICE r2: this test does NOT
-    exercise _accumulate_pallas_v3_stacked — that kernel is an experimental
-    alternative for batching the accumulate across a frame stack in one
-    pallas_call, currently unwired; bind_env_multi scans the per-frame
-    accumulate.  Its own parity coverage is
-    tests/test_grid.py::test_stacked_accumulator_bit_identical.)"""
+    """bind_env_multi == frame-by-frame bind_env on-device: bit-identical
+    tracking chain.  On this onehot+grid f32 config bind_env_multi hoists
+    the whole stack's accumulation into _accumulate_pallas_v3_stacked
+    (round 3), so this also pins the stacked kernel against the per-frame
+    path end-to-end; its unit parity coverage is
+    tests/test_grid.py::test_stacked_accumulator_bit_identical."""
     import os
 
     from multiple_object_tracking_lidar_tpu.config import (
