@@ -34,23 +34,65 @@ import numpy as np
 
 
 def _stage_frames(sc, n_pts, n_ring):
+    """Per-frame ring for bind_env, staged with PINNED standard layouts:
+    XLA assigns (N, 3) float params a transposed {0,1:T(4,128)} layout and
+    (N,) bool masks need an in-program f32 convert, costing ~77 us/frame of
+    relayout copies in front of the accumulator (trace-measured).  Staging
+    points as {1,0} and the mask pre-converted as (N, 1) f32 {1,0} lets the
+    kernel consume both parameters directly."""
+    from jax.experimental import layout
+    from jax.sharding import SingleDeviceSharding
+
     from multiple_object_tracking_lidar_tpu.tracker.state import Frame
 
+    dev = jax.devices()[0]
+    fmt = layout.Format(
+        layout.Layout(major_to_minor=(0, 1)), SingleDeviceSharding(dev)
+    )
     frames = []
     for k in range(n_ring):
         pts, t = sc.frame_arrays(k)
         buf = np.zeros((n_pts, 3), np.float32)
         buf[: len(pts)] = pts[:n_pts]
-        mask = np.zeros(n_pts, bool)
-        mask[: min(len(pts), n_pts)] = True
+        mask = np.zeros((n_pts, 1), np.float32)
+        mask[: min(len(pts), n_pts)] = 1.0
         frames.append(
             Frame(
-                points=jax.device_put(jnp.asarray(buf)),
-                mask=jax.device_put(jnp.asarray(mask)),
+                points=jax.device_put(jnp.asarray(buf), fmt),
+                mask=jax.device_put(jnp.asarray(mask), fmt),
                 t=jnp.float32(t),
             )
         )
     return frames
+
+
+def stage_stacked(frames, n_pts):
+    """Stacked Frame for bind_env_multi with PINNED standard layouts.
+
+    XLA's parameter-layout heuristic assigns (S, N, 3) float params the
+    {1,0,2} channel-planes layout; the accumulator custom call wants
+    standard {2,1,0}, and the resulting relayout copies cost ~240 us/cloud
+    on this TPU (trace-measured, docs/PERFORMANCE.md round 3).  Staging the
+    ring ONCE with an explicit major-to-minor {2,1,0} Format makes the
+    kernel consume the parameter directly — zero in-program copies.  The
+    mask is staged pre-converted as (S, N, 1) f32 for the same reason (the
+    in-program pred->f32 convert + relayout costs ~82 us/cloud)."""
+    from jax.experimental import layout
+    from jax.sharding import SingleDeviceSharding
+
+    from multiple_object_tracking_lidar_tpu.tracker.state import Frame
+
+    dev = jax.devices()[0]
+    fmt = layout.Format(
+        layout.Layout(major_to_minor=(0, 1, 2)), SingleDeviceSharding(dev)
+    )
+    pts = np.stack([np.asarray(f.points) for f in frames])
+    msk = np.stack([np.asarray(f.mask) for f in frames]).astype(np.float32)
+    return Frame(
+        points=jax.device_put(jnp.asarray(pts), fmt),
+        mask=jax.device_put(jnp.asarray(msk.reshape(len(frames), n_pts, 1)), fmt),
+        t=jnp.stack([f.t for f in frames]),
+    )
 
 
 def _force_sync_dispatch_mode():
@@ -86,11 +128,7 @@ class _Case:
         self.frames = _stage_frames(sc, cfg.caps.n_max_points, n_ring)
         self.step = self.tracker.bind_env_multi(env)
         self.step1 = self.tracker.bind_env(env)
-        self.frames_stacked = Frame(
-            points=jnp.stack([f.points for f in self.frames]),
-            mask=jnp.stack([f.mask for f in self.frames]),
-            t=jnp.stack([f.t for f in self.frames]),
-        )
+        self.frames_stacked = stage_stacked(self.frames, cfg.caps.n_max_points)
         # compile + warm both dispatch shapes
         state = self.tracker.init_state()
         for _ in range(2):

@@ -103,20 +103,6 @@ def voxel_accumulate_onehot_cm(
     by = math.floor(scene.y_min / leaf_xy)
     bz = math.floor(scene.z_min / leaf_z)
 
-    ix, iy, iz = _quantize(points, leaf_xy, leaf_z)
-    ix -= bx
-    iy -= by
-    iz -= bz
-    in_bounds = (
-        mask
-        & (ix >= 0) & (ix < gx)
-        & (iy >= 0) & (iy < gy)
-        & (iz >= 0) & (iz < gz)
-    )
-    # invalid points select no one-hot column -> contribute nothing
-    ix = jnp.where(in_bounds, ix, -1)
-    iyz = jnp.where(in_bounds, iy + gy * iz, -1)
-
     if block is None:
         block = _pick_block(points.shape[0])
     if use_pallas is None:
@@ -145,6 +131,24 @@ def voxel_accumulate_onehot_cm(
         return _accumulate_pallas_v2(
             points, mask, scene, leaf_xy, leaf_z, block
         ).astype(points.dtype)
+
+    # jnp one-hot lowerings: quantize + bounds-test up front.  Masks may
+    # arrive pre-staged as (N, 1) f32 (bench.stage_stacked layout pinning);
+    # normalize to a flat bool for the elementwise path.
+    maskb = (mask != 0).reshape(points.shape[0])
+    ix, iy, iz = _quantize(points, leaf_xy, leaf_z)
+    ix -= bx
+    iy -= by
+    iz -= bz
+    in_bounds = (
+        maskb
+        & (ix >= 0) & (ix < gx)
+        & (iy >= 0) & (iy < gy)
+        & (iz >= 0) & (iz < gz)
+    )
+    # invalid points select no one-hot column -> contribute nothing
+    ix = jnp.where(in_bounds, ix, -1)
+    iyz = jnp.where(in_bounds, iy + gy * iz, -1)
 
     if points.dtype == jnp.float64:
         # f64 mode (CPU parity tests): plain f64 one-hot contraction, exact
@@ -568,29 +572,78 @@ def _v4_shifts(leaf_xy: float, leaf_z: float) -> tuple[int, int]:
 
 
 def _acc_kernel_v4(
-    pts_ref, msk_ref, out_ref, *, block, gx, gy, gz, w1,
+    pts_ref, msk_ref, out_ref, acc_ref, *, block, gx, gy, gz, w1,
     inv_xy, inv_z, leaf_xy, leaf_z, bx, by, bz, kx, kz
 ):
+    b = pl.program_id(0)
     _acc_v4_body(
-        pts_ref[...], msk_ref[...], out_ref, (), pl.program_id(0) == 0,
+        pts_ref[...], msk_ref[...], acc_ref, (), b == 0,
         block=block, gx=gx, gy=gy, gz=gz, w1=w1, inv_xy=inv_xy, inv_z=inv_z,
         leaf_xy=leaf_xy, leaf_z=leaf_z, bx=bx, by=by, bz=bz, kx=kx, kz=kz,
     )
 
+    @pl.when(b == pl.num_programs(0) - 1)
+    def _():
+        _v4_finalize_into(
+            out_ref, acc_ref, (), gx=gx, gy=gy, w1=w1,
+            leaf_xy=leaf_xy, leaf_z=leaf_z, bx=bx, by=by, bz=bz, kx=kx, kz=kz,
+        )
+
 
 def _acc_kernel_v4_stacked(
-    pts_ref, msk_ref, out_ref, *, block, gx, gy, gz, w1,
+    pts_ref, msk_ref, out_ref, acc_ref, *, block, gx, gy, gz, w1,
     inv_xy, inv_z, leaf_xy, leaf_z, bx, by, bz, kx, kz
 ):
     """Batched single-digit variant: grid (S, N//block), one revolving
     output per frame — same rationale as _acc_kernel_v3_stacked (the big
     (S, N, 3) operand's tiled->linear relayout is paid once per dispatch
     instead of ~90 us of slice+copy per scan iteration)."""
+    b = pl.program_id(1)
     _acc_v4_body(
-        pts_ref[0], msk_ref[0], out_ref, (0,), pl.program_id(1) == 0,
+        pts_ref[0], msk_ref[0], acc_ref, (0,), b == 0,
         block=block, gx=gx, gy=gy, gz=gz, w1=w1, inv_xy=inv_xy, inv_z=inv_z,
         leaf_xy=leaf_xy, leaf_z=leaf_z, bx=bx, by=by, bz=bz, kx=kx, kz=kz,
     )
+
+    @pl.when(b == pl.num_programs(1) - 1)
+    def _():
+        _v4_finalize_into(
+            out_ref, acc_ref, (0,), gx=gx, gy=gy, w1=w1,
+            leaf_xy=leaf_xy, leaf_z=leaf_z, bx=bx, by=by, bz=bz, kx=kx, kz=kz,
+        )
+
+
+def _v4_finalize_into(
+    out_ref, acc_ref, lead, *, gx, gy, w1, leaf_xy, leaf_z, bx, by, bz, kx, kz
+):
+    """In-kernel finalize: integer digit sums -> f32 [sum_x, sum_y, sum_z,
+    count] on the (w1, 128) grid.  Doing this on the XLA side costs three
+    s32[n_cells] folded-constant prefetches plus ~6 reconstruction fusions
+    PER FRAME (trace-measured on the single-frame dispatch); in-kernel it is
+    ~20 VPU passes over 5.5k cells — noise.  Cell centers use the same f32
+    products as the quantize step, so results are bit-identical to the old
+    host-side reconstruction."""
+    f32 = jnp.float32
+    i32 = jnp.int32
+    u = jax.lax.broadcasted_iota(i32, (w1, 128), 0)
+    v = jax.lax.broadcasted_iota(i32, (w1, 128), 1)
+    lin = 128 * u + v
+    ix = lin % gx
+    iyz = lin // gx
+    iy = iyz % gy
+    iz = iyz // gy
+    cx = (bx + ix).astype(f32) * f32(leaf_xy)
+    cy = (by + iy).astype(f32) * f32(leaf_xy)
+    cz = (bz + iz).astype(f32) * f32(leaf_z)
+    inv_xyq = f32(2.0**-kx)
+    inv_zq = f32(2.0**-kz)
+    half_xy = f32(0.5 * leaf_xy)
+    half_z = f32(0.5 * leaf_z)
+    cnt = acc_ref[lead + (3,)].astype(f32)
+    out_ref[lead + (0,)] = cnt * (cx + half_xy) + acc_ref[lead + (0,)].astype(f32) * inv_xyq
+    out_ref[lead + (1,)] = cnt * (cy + half_xy) + acc_ref[lead + (1,)].astype(f32) * inv_xyq
+    out_ref[lead + (2,)] = cnt * (cz + half_z) + acc_ref[lead + (2,)].astype(f32) * inv_zq
+    out_ref[lead + (3,)] = cnt
 
 
 def _acc_v4_body(
@@ -701,28 +754,12 @@ def _accumulate_pallas_v4(
         out_specs=pl.BlockSpec(
             (4, w1, 128), lambda b: (0, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((4, w1, 128), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((4, w1, 128), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((4, w1, 128), jnp.int32)],
         interpret=interpret,
     )(points.astype(jnp.float32), mask.astype(jnp.float32).reshape(n, 1))
 
-    S = out.reshape(4, w1 * 128)[:, :n_cells].astype(jnp.float32)
-    idx = jnp.arange(n_cells, dtype=jnp.int32)
-    ix = idx % gx
-    iyz = idx // gx
-    iy = iyz % gy
-    iz = iyz // gy
-    cnt = S[3]
-    cx = (bx + ix).astype(jnp.float32) * jnp.float32(leaf_xy)
-    cy = (by + iy).astype(jnp.float32) * jnp.float32(leaf_xy)
-    cz = (bz + iz).astype(jnp.float32) * jnp.float32(leaf_z)
-    inv_xyq = jnp.float32(2.0**-kx)
-    inv_zq = jnp.float32(2.0**-kz)
-    half_xy = jnp.float32(0.5 * leaf_xy)
-    half_z = jnp.float32(0.5 * leaf_z)
-    sx = cnt * (cx + half_xy) + S[0] * inv_xyq
-    sy = cnt * (cy + half_xy) + S[1] * inv_xyq
-    sz = cnt * (cz + half_z) + S[2] * inv_zq
-    return jnp.stack([sx, sy, sz, cnt], axis=0)       # (4, n_cells)
+    return out.reshape(4, w1 * 128)[:, :n_cells]      # (4, n_cells)
 
 
 def _accumulate_pallas_v4_stacked(
@@ -779,31 +816,15 @@ def _accumulate_pallas_v4_stacked(
         out_specs=pl.BlockSpec(
             (1, 4, w1, 128), lambda si, b: (si, 0, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((s, 4, w1, 128), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((s, 4, w1, 128), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((1, 4, w1, 128), jnp.int32)],
         interpret=interpret,
     )(
         points.astype(jnp.float32),
         mask.astype(jnp.float32).reshape(s, n, 1),
     )
 
-    Sd = out.reshape(s, 4, w1 * 128)[:, :, :n_cells].astype(jnp.float32)
-    idx = jnp.arange(n_cells, dtype=jnp.int32)
-    ix = idx % gx
-    iyz = idx // gx
-    iy = iyz % gy
-    iz = iyz // gy
-    cnt = Sd[:, 3]
-    cx = (bx + ix).astype(jnp.float32) * jnp.float32(leaf_xy)
-    cy = (by + iy).astype(jnp.float32) * jnp.float32(leaf_xy)
-    cz = (bz + iz).astype(jnp.float32) * jnp.float32(leaf_z)
-    inv_xyq = jnp.float32(2.0**-kx)
-    inv_zq = jnp.float32(2.0**-kz)
-    half_xy = jnp.float32(0.5 * leaf_xy)
-    half_z = jnp.float32(0.5 * leaf_z)
-    sx = cnt * (cx + half_xy)[None] + Sd[:, 0] * inv_xyq
-    sy = cnt * (cy + half_xy)[None] + Sd[:, 1] * inv_xyq
-    sz = cnt * (cz + half_z)[None] + Sd[:, 2] * inv_zq
-    return jnp.stack([sx, sy, sz, cnt], axis=1)       # (S, 4, n_cells)
+    return out.reshape(s, 4, w1 * 128)[:, :, :n_cells]  # (S, 4, n_cells)
 
 
 def _accumulate_pallas_v3_stacked(

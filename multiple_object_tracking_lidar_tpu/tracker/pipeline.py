@@ -219,7 +219,11 @@ class Tracker:
                     leaf_z,
                     _pick_block(cfg.caps.n_max_points),
                 )
-                n_pts = frames.mask.sum(axis=1)
+                # mask may arrive (S, N) bool or pre-staged (S, N, 1) f32
+                # (bench.stage_stacked pins the latter's layout so the
+                # kernel consumes the parameter with zero relayout copies)
+                msk2 = frames.mask.reshape(frames.mask.shape[0], -1)
+                n_pts = (msk2 != 0).sum(axis=1)
 
                 def body(s, xs):
                     acc, t, npts = xs
@@ -581,10 +585,10 @@ def perceive(
             ).T
         if config.cluster_backend == "grid":
             return _perceive_from_dense_acc(
-                acc_cm, frame.t, frame.mask.sum(), env, config=config, table=table
+                acc_cm, frame.t, (frame.mask.ravel() != 0).sum(), env, config=config, table=table
             )
         return perceive_from_acc(
-            acc_cm.T, frame.t, frame.mask.sum(), env, config=config, table=table
+            acc_cm.T, frame.t, (frame.mask.ravel() != 0).sum(), env, config=config, table=table
         )
     if config.voxel_mode in ("scan", "runs"):
         if config.voxel_mode == "runs":
@@ -612,7 +616,7 @@ def perceive(
             config.caps.m_max_voxels,
         )
         return _perceive_from_vox(
-            vox, vox_mask, n_vox, frame.t, frame.mask.sum(), env, config=config
+            vox, vox_mask, n_vox, frame.t, (frame.mask.ravel() != 0).sum(), env, config=config
         )
     acc = voxel_accumulate(
         frame.points.astype(jnp.dtype(config.dtype)),
@@ -621,7 +625,7 @@ def perceive(
         config.voxel_leaf_size,
         config.leaf_z,
     )
-    return perceive_from_acc(acc, frame.t, frame.mask.sum(), env, config=config)
+    return perceive_from_acc(acc, frame.t, (frame.mask.ravel() != 0).sum(), env, config=config)
 
 
 def step_from_voxel_acc(
