@@ -133,6 +133,80 @@ def circumcenter_features_table(
     return jnp.concatenate([xy, zeros, tcol], axis=1)
 
 
+def circumcenter_from_pair_stats(
+    cm: jnp.ndarray,           # (C, P) colmax: max_i d2m[i, j] per column
+    fr: jnp.ndarray,           # (C, P) firstrow: min row achieving colmax
+    mpts: jnp.ndarray,         # (C, P, 3) member points
+    member_mask: jnp.ndarray,  # (C, P)
+    t: jnp.ndarray,
+) -> jnp.ndarray:
+    """Circumcenter features from precomputed farthest-pair column stats
+    (ops.centroid_pallas.pair_stats_pallas).  Pair selection, the
+    farthest-from-line scan (cpp:763-784), and the determinant (cpp:787-809)
+    run here in jnp, vectorized over clusters, using the SAME formulas as
+    `_one_cluster` — keeping the knife-edge computations (G == 0 collinear
+    test, value-equality skips) in one implementation regardless of which
+    engine produced the pair stats (Mosaic fuses a*b - c*d into FMAs whose
+    residuals break G == 0 agreement otherwise).
+
+    Pick equivalence with `_one_cluster`'s (first max row, first max col):
+    d2m is upper-triangular-masked, so no row before the first-max row i*
+    holds the global max; hence i* = min over gmax columns of firstrow and
+    j* = first gmax column with firstrow == i*.  Empty/singleton clusters
+    (no i < j pair anywhere) resolve to index 0 for both, matching argmax
+    over an all(-1) matrix."""
+    c, p = cm.shape
+    dtype = mpts.dtype
+    lane = jnp.arange(p, dtype=jnp.int32)[None, :]
+    gmax = jnp.max(cm, axis=1, keepdims=True)              # (C, 1)
+    have = gmax > -0.5
+    hit = (cm == gmax) & have
+    i_star = jnp.where(
+        have[:, 0], jnp.where(hit, fr, p).min(axis=1), 0
+    )                                                      # (C,)
+    j_star = jnp.where(
+        have[:, 0],
+        jnp.where(hit & (fr == i_star[:, None]), lane, p).min(axis=1),
+        0,
+    )
+    # row extraction via one-hot sums (exactly one nonzero term — exact)
+    oh_i = (lane == i_star[:, None]).astype(dtype)         # (C, P)
+    oh_j = (lane == j_star[:, None]).astype(dtype)
+    pi = jnp.einsum("cp,cpk->ck", oh_i, mpts)              # (C, 3)
+    pj = jnp.einsum("cp,cpk->ck", oh_j, mpts)
+
+    xs, ys, zs = mpts[:, :, 0], mpts[:, :, 1], mpts[:, :, 2]
+    pix, piy, piz = pi[:, 0:1], pi[:, 1:2], pi[:, 2:3]
+    pjx, pjy, pjz = pj[:, 0:1], pj[:, 1:2], pj[:, 2:3]
+    ex = pjx - pix
+    ey = pjy - piy
+    cross = jnp.abs(ex * (ys - piy) - ey * (xs - pix))
+    norm = jnp.sqrt(ex * ex + ey * ey)
+    line_d = cross / jnp.maximum(norm, jnp.asarray(1e-30, dtype))
+    eq_i = (xs == pix) & (ys == piy) & (zs == piz)
+    eq_j = (xs == pjx) & (ys == pjy) & (zs == pjz)
+    k_mask = member_mask & ~eq_i & ~eq_j
+    k_star = jnp.argmax(jnp.where(k_mask, line_d, -1.0), axis=1)
+    oh_k = (lane == k_star[:, None]).astype(dtype)
+    pk = jnp.einsum("cp,cpk->ck", oh_k, mpts)
+    pkx, pky = pk[:, 0:1], pk[:, 1:2]
+
+    a = pjx - pix
+    b = pjy - piy
+    cc = pkx - pix
+    d = pky - piy
+    e = a * (pix + pjx) + b * (piy + pjy)
+    f = cc * (pix + pkx) + d * (piy + pky)
+    g = 2.0 * (a * (pky - pjy) - b * (pkx - pjx))
+    collinear = g == 0.0
+    g_safe = jnp.where(collinear, 1.0, g)
+    cx = jnp.where(collinear, pix, (d * e - b * f) / g_safe)
+    cy = jnp.where(collinear, piy, (a * f - cc * e) / g_safe)
+    zeros = jnp.zeros((c, 1), dtype)
+    tcol = jnp.full((c, 1), t, dtype)
+    return jnp.concatenate([cx, cy, zeros, tcol], axis=1)
+
+
 def circumcenter_features_sorted(
     sorted_pts: jnp.ndarray,   # (M + P, 3) cluster-contiguous points
     starts: jnp.ndarray,       # (C,)

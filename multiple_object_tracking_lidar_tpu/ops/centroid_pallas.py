@@ -157,6 +157,139 @@ def circumcenter_xy_pallas(
     )(mpts, mpt_t, mm_r, mm_c)
 
 
+def _kernel_v2(mp_ref, mpt_ref, mm_ref, cm_ref, fr_ref, *, c, p):
+    """Vectorized + validity-predicated farthest-pair kernel (phase A of the
+    circumcenter feature).
+
+    The 2024-round-2 kernel (`_kernel` above) ran ~25 scalar phases per
+    cluster (extract/compare/select on Mosaic's scalar unit) and measured
+    SLOWER than the XLA (C, P, P) path (99 vs 68 us).  This one computes
+    ONLY the O(P^2) pair statistics, with a property XLA cannot reproduce:
+    each cluster's (P, P) work runs behind a `@pl.when(any members)`
+    predicate, so empty slots cost one (1, P) reduction instead of ~10
+    passes over a (P, P) tile.  Bench headline frames have 3-4 valid slots
+    of 32 — ~90% of the pairwise work vanishes at runtime (static shapes
+    force the XLA path to pay all C slots).
+
+    Outputs per cluster: ``colmax[j] = max_i d2m[i, j]`` and
+    ``firstrow[j] = min {i : d2m[i, j] == colmax[j]}`` (P where no pair).
+    The selection, farthest-from-line scan, and the circumcenter
+    determinant happen OUTSIDE the kernel in jnp
+    (ops.centroid.circumcenter_from_pair_stats) so those knife-edge
+    computations (`G == 0` collinearity, value-equality skips — reference
+    cpp:763-809) use the exact same arithmetic as the pure-jnp path: an
+    earlier all-in-kernel variant disagreed with XLA on collinear clusters
+    because Mosaic fused `a*b - c*d` into an FMA whose residual (~1e-8)
+    defeated the G == 0 test that XLA's separately-rounded form satisfied.
+
+    Tie-break equivalence with the jnp path (reference cpp:731-759 first-
+    strict-max semantics): the jnp path takes (first max row i*, first max
+    col within it).  Because d2m is upper-triangular-masked, no row before
+    i* contains the global max, so i* = min firstrow over gmax columns and
+    j* = first gmax column whose firstrow == i* — identical picks on
+    identical f32 values (in-cluster reduction order may differ from XLA
+    at ulp level, as for `_kernel`)."""
+    f32 = jnp.float32
+    i32 = jnp.int32
+    rowi = jax.lax.broadcasted_iota(i32, (p, p), 0)
+    coli = jax.lax.broadcasted_iota(i32, (p, p), 1)
+    ones11 = jnp.ones((1, 1), f32)
+
+    for ci in range(c):
+        mm_row = mm_ref[ci : ci + 1, :]                    # (1, P) f32 0/1
+        n_m = jnp.sum(mm_row)
+
+        @pl.when(n_m > 0.0)
+        def _(ci=ci, mm_row=mm_row, n_m=n_m):
+            mp = mp_ref[ci]                                # (P, 3)
+            mpt = mpt_ref[ci]                              # (3, P)
+            # (P, 1) mask column from the (1, P) row via MXU transpose
+            # (value transposes do not lower in Mosaic; a (1,P)^T x (1,1)
+            # product is exact for 0/1 values)
+            mmcol = jax.lax.dot_general(
+                mm_row, ones11, (((0,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            )                                              # (P, 1)
+            cnt = jnp.maximum(n_m, 1.0)
+            c_row = jnp.sum(mp * mmcol, axis=0, keepdims=True) / cnt  # (1,3)
+            c_col = jax.lax.dot_general(
+                c_row, ones11, (((0,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            )                                              # (3, 1)
+            pc = (mp - c_row) * mmcol                      # (P, 3)
+            pct = (mpt - c_col) * mm_row                   # (3, P)
+            sq_col = jnp.sum(pc * pc, axis=1, keepdims=True)
+            sq_row = jnp.sum(pct * pct, axis=0, keepdims=True)
+            gram = jax.lax.dot_general(
+                pc, pct, (((1,), (0,)), ((), ())),
+                preferred_element_type=f32,
+                precision=jax.lax.Precision.HIGHEST,
+            )                                              # (P, P)
+            d2 = sq_col + sq_row - 2.0 * gram
+            pair_ok = (mmcol > 0.0) & (mm_row > 0.0) & (rowi < coli)
+            d2m = jnp.where(pair_ok, d2, -1.0)
+            colmax = jnp.max(d2m, axis=0, keepdims=True)   # (1, P)
+            firstrow = jnp.min(
+                jnp.where(d2m == colmax, rowi, p), axis=0, keepdims=True
+            )                                              # (1, P)
+            cm_ref[ci : ci + 1, :] = colmax
+            fr_ref[ci : ci + 1, :] = firstrow
+
+        @pl.when(n_m <= 0.0)
+        def _(ci=ci):
+            cm_ref[ci : ci + 1, :] = jnp.full((1, p), -1.0, f32)
+            fr_ref[ci : ci + 1, :] = jnp.full((1, p), p, i32)
+
+
+def pair_stats_pallas(
+    mpts: jax.Array,         # (C, P, 3) f32 member table
+    member_mask: jax.Array,  # (C, P) bool
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """((C, P) colmax f32, (C, P) firstrow i32) farthest-pair statistics
+    via the predicated kernel (see _kernel_v2).  Whole problem
+    VMEM-resident, one grid step."""
+    c, p, _ = mpts.shape
+    mpts = mpts.astype(jnp.float32)
+    mpt_t = jnp.swapaxes(mpts, 1, 2)                       # (C, 3, P)
+    mm = member_mask.astype(jnp.float32)                   # (C, P)
+
+    return pl.pallas_call(
+        functools.partial(_kernel_v2, c=c, p=p),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((c, p), jnp.float32),
+            jax.ShapeDtypeStruct((c, p), jnp.int32),
+        ),
+        interpret=interpret,
+    )(mpts, mpt_t, mm)
+
+
+def circumcenter_features_table_pallas_v2(
+    mpts: jax.Array,
+    member_mask: jax.Array,
+    t: jax.Array,
+    interpret: bool = False,
+) -> jax.Array:
+    """Drop-in for ops.centroid.circumcenter_features_table: (C, 4)
+    [x, y, 0, t] detections.  Phase A (O(P^2) pair scan) in the predicated
+    kernel; selection + line + determinant in shared jnp code."""
+    from multiple_object_tracking_lidar_tpu.ops.centroid import (
+        circumcenter_from_pair_stats,
+    )
+
+    cm, fr = pair_stats_pallas(mpts, member_mask, interpret=interpret)
+    return circumcenter_from_pair_stats(cm, fr, mpts, member_mask, t)
+
+
 def circumcenter_features_table_pallas(
     mpts: jax.Array,
     member_mask: jax.Array,

@@ -473,7 +473,24 @@ def _perceive_from_dense_acc(
         caps.p_max_cluster,
     )
 
-    dets = circumcenter_features_table(ctab.mpts, ctab.member_mask, t).astype(dtype)
+    if use_kernel:
+        # farthest-pair scan via the validity-PREDICATED kernel: empty
+        # cluster slots skip their (P, P) work at runtime — the XLA path's
+        # static shapes pay all c_max slots every frame (56+ us vs ~15 on
+        # headline frames with 3-4 valid slots of 32).  Selection/line/
+        # determinant run in shared jnp code (ops/centroid_pallas.py).
+        from multiple_object_tracking_lidar_tpu.ops.centroid_pallas import (
+            circumcenter_features_table_pallas_v2,
+        )
+
+        dets = circumcenter_features_table_pallas_v2(
+            ctab.mpts,
+            ctab.member_mask,
+            t,
+            interpret=jax.default_backend() != "tpu",
+        ).astype(dtype)
+    else:
+        dets = circumcenter_features_table(ctab.mpts, ctab.member_mask, t).astype(dtype)
 
     return Perception(
         dets=dets,

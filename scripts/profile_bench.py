@@ -43,11 +43,7 @@ def main() -> None:
 
     if dispatch == "multi":
         step = tracker.bind_env_multi(env)
-        stacked = Frame(
-            points=jnp.stack([f.points for f in frames]),
-            mask=jnp.stack([f.mask for f in frames]),
-            t=jnp.stack([f.t for f in frames]),
-        )
+        stacked = bench.stage_stacked(frames, cfg.caps.n_max_points)
         run = lambda s: step(s, stacked)
         clouds_per_dispatch = 8
     else:

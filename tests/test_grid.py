@@ -755,6 +755,45 @@ def test_centroid_pallas_matches_table_path(rng):
     )
 
 
+def test_centroid_pallas_v2_matches_table_path(rng):
+    """The vectorized predicated circumcenter kernel (interpret) == the jnp
+    table path, including exact tie-break agreement on grid-like
+    coordinates, empty slots, singletons, and collinear clusters."""
+    from multiple_object_tracking_lidar_tpu.ops.centroid import (
+        circumcenter_features_table,
+    )
+    from multiple_object_tracking_lidar_tpu.ops.centroid_pallas import (
+        circumcenter_features_table_pallas_v2,
+    )
+
+    r = np.random.default_rng(11)
+    cc, p = 8, 64
+    mpts = np.zeros((cc, p, 3), np.float32)
+    mm = np.zeros((cc, p), bool)
+    for c in range(cc - 3):
+        n = int(r.integers(0, p))
+        mpts[c, :n] = np.round(r.normal(0, 1, (n, 3)) * 10) / 10
+        mm[c, :n] = True
+    # singleton cluster
+    mpts[cc - 3, 0] = [1.0, 2.0, 0.5]
+    mm[cc - 3, 0] = True
+    # collinear cluster (G == 0 fallback to Pi)
+    for k in range(5):
+        mpts[cc - 2, k] = [0.1 * k, 0.2 * k, 0.0]
+    mm[cc - 2, :5] = True
+    # cc-1 stays empty
+    ref = circumcenter_features_table(
+        jnp.asarray(mpts), jnp.asarray(mm), jnp.float32(0.3)
+    )
+    got = circumcenter_features_table_pallas_v2(
+        jnp.asarray(mpts), jnp.asarray(mm), jnp.float32(0.3), interpret=True
+    )
+    ok = mm.any(axis=1)
+    np.testing.assert_allclose(
+        np.asarray(got)[ok], np.asarray(ref)[ok], rtol=0, atol=1e-5
+    )
+
+
 def test_stacked_accumulator_bit_identical(rng):
     """The batched (S, N, 3) accumulator == the per-frame kernel,
     bit-for-bit (integer digit sums)."""
