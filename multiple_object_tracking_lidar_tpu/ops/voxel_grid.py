@@ -82,9 +82,14 @@ def voxel_accumulate_onehot_cm(
     use_pallas: bool | None = None,
     block: int | None = None,
     quant: str = "exact",
+    with_npts: bool = False,
 ) -> jnp.ndarray:
     """Dense CHANNEL-MAJOR (4, n_cells) [sum_x, sum_y, sum_z, count]
     accumulator, built with one-hot matmuls (no scatter, no sort).
+    ``with_npts=True`` additionally returns the scalar valid-point count
+    (mask sum) — the v4 kernel accumulates it in SMEM for free, while an
+    XLA-side reduce over the mask in its pinned kernel-operand layout
+    costs ~72 us/frame (1 of 128 lanes).
 
     ``use_pallas=None`` auto-selects: the fused VMEM kernel on TPU (one-hots
     built in VMEM per block — the XLA lowering materializes an (N, 10*gx)
@@ -113,9 +118,11 @@ def voxel_accumulate_onehot_cm(
         )
     if use_pallas and block is not None:
         if quant == "fast":
-            return _accumulate_pallas_v4(
+            acc, npts = _accumulate_pallas_v4(
                 points, mask, scene, leaf_xy, leaf_z, block
-            ).astype(points.dtype)
+            )
+            acc = acc.astype(points.dtype)
+            return (acc, npts) if with_npts else acc
         # v3 kernel: quantize + mask-fold in-kernel from the raw (N, 3)
         # points + (N, 1) mask operands, int8 fixed-point digit channels
         # (bit-deterministic integer sums; see kernel doc).  Its two balanced
@@ -125,12 +132,16 @@ def voxel_accumulate_onehot_cm(
         # frac silently wraps in the int8 narrow, so fall back to the bf16x3
         # v2 kernel (exact at any leaf size).  ADVICE r2.
         if _v3_leaf_ok(leaf_xy, leaf_z):
-            return _accumulate_pallas_v3(
+            acc = _accumulate_pallas_v3(
                 points, mask, scene, leaf_xy, leaf_z, block
             ).astype(points.dtype)
-        return _accumulate_pallas_v2(
-            points, mask, scene, leaf_xy, leaf_z, block
-        ).astype(points.dtype)
+        else:
+            acc = _accumulate_pallas_v2(
+                points, mask, scene, leaf_xy, leaf_z, block
+            ).astype(points.dtype)
+        if with_npts:
+            return acc, (mask.ravel() != 0).sum()
+        return acc
 
     # jnp one-hot lowerings: quantize + bounds-test up front.  Masks may
     # arrive pre-staged as (N, 1) f32 (bench.stage_stacked layout pinning);
@@ -161,7 +172,8 @@ def voxel_accumulate_onehot_cm(
         A = jax.lax.dot_general(
             Y, XC, (((0,), (0,)), ((), ())), preferred_element_type=points.dtype
         ).reshape(gyz, 4, gx)
-        return jnp.moveaxis(A, 1, 0).reshape(4, gyz * gx)
+        acc = jnp.moveaxis(A, 1, 0).reshape(4, gyz * gx)
+        return (acc, maskb.sum()) if with_npts else acc
 
     X = (ix[:, None] == jnp.arange(gx, dtype=jnp.int32)[None, :]).astype(jnp.bfloat16)
     Y = (iyz[:, None] == jnp.arange(gyz, dtype=jnp.int32)[None, :]).astype(jnp.bfloat16)
@@ -184,7 +196,8 @@ def voxel_accumulate_onehot_cm(
     sz = A[:, 6] + A[:, 7] + A[:, 8]
     cnt = A[:, 9]
     acc = jnp.stack([sx, sy, sz, cnt], axis=0)           # (4, gyz, gx)
-    return acc.reshape(4, gyz * gx).astype(points.dtype)
+    acc = acc.reshape(4, gyz * gx).astype(points.dtype)
+    return (acc, maskb.sum()) if with_npts else acc
 
 
 def _pick_block(n: int) -> int | None:
@@ -572,7 +585,7 @@ def _v4_shifts(leaf_xy: float, leaf_z: float) -> tuple[int, int]:
 
 
 def _acc_kernel_v4(
-    pts_ref, msk_ref, out_ref, acc_ref, *, block, gx, gy, gz, w1,
+    pts_ref, msk_ref, out_ref, npts_ref, acc_ref, *, block, gx, gy, gz, w1,
     inv_xy, inv_z, leaf_xy, leaf_z, bx, by, bz, kx, kz
 ):
     b = pl.program_id(0)
@@ -581,6 +594,18 @@ def _acc_kernel_v4(
         block=block, gx=gx, gy=gy, gz=gz, w1=w1, inv_xy=inv_xy, inv_z=inv_z,
         leaf_xy=leaf_xy, leaf_z=leaf_z, bx=bx, by=by, bz=bz, kx=kx, kz=kz,
     )
+    # valid-point count rides out of the kernel: an XLA-side reduce over
+    # the (N, 1) f32 mask in its pinned kernel-operand layout uses 1 of
+    # 128 lanes (~72 us/frame measured) — in here it is one block reduce
+    blk = jnp.sum((msk_ref[...] > 0.0).astype(jnp.int32))
+
+    @pl.when(b == 0)
+    def _():
+        npts_ref[0, 0] = blk
+
+    @pl.when(b > 0)
+    def _():
+        npts_ref[0, 0] = npts_ref[0, 0] + blk
 
     @pl.when(b == pl.num_programs(0) - 1)
     def _():
@@ -591,7 +616,7 @@ def _acc_kernel_v4(
 
 
 def _acc_kernel_v4_stacked(
-    pts_ref, msk_ref, out_ref, acc_ref, *, block, gx, gy, gz, w1,
+    pts_ref, msk_ref, out_ref, npts_ref, acc_ref, *, block, gx, gy, gz, w1,
     inv_xy, inv_z, leaf_xy, leaf_z, bx, by, bz, kx, kz
 ):
     """Batched single-digit variant: grid (S, N//block), one revolving
@@ -599,11 +624,21 @@ def _acc_kernel_v4_stacked(
     (S, N, 3) operand's tiled->linear relayout is paid once per dispatch
     instead of ~90 us of slice+copy per scan iteration)."""
     b = pl.program_id(1)
+    si = pl.program_id(0)
     _acc_v4_body(
         pts_ref[0], msk_ref[0], acc_ref, (0,), b == 0,
         block=block, gx=gx, gy=gy, gz=gz, w1=w1, inv_xy=inv_xy, inv_z=inv_z,
         leaf_xy=leaf_xy, leaf_z=leaf_z, bx=bx, by=by, bz=bz, kx=kx, kz=kz,
     )
+    blk = jnp.sum((msk_ref[0] > 0.0).astype(jnp.int32))
+
+    @pl.when(b == 0)
+    def _():
+        npts_ref[0, si] = blk
+
+    @pl.when(b > 0)
+    def _():
+        npts_ref[0, si] = npts_ref[0, si] + blk
 
     @pl.when(b == pl.num_programs(1) - 1)
     def _():
@@ -715,10 +750,14 @@ def _accumulate_pallas_v4(
     block: int,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """(4, n_cells) channel-major accumulator via the single-digit int8
-    kernel (quant="fast").  Counts are exact; coordinate sums quantize each
-    point to leaf/2^(k+1) (~0.12 mm xy / ~3.9 mm z at the 0.05 m bench leaf)
-    and stay bit-deterministic across compiles."""
+    """((4, n_cells) channel-major accumulator, scalar valid-point count)
+    via the single-digit int8 kernel (quant="fast").  Counts are exact;
+    coordinate sums quantize each point to leaf/2^(k+1) (~0.12 mm xy /
+    ~3.9 mm z at the 0.05 m bench leaf) and stay bit-deterministic across
+    compiles.  Block capped at 2048: with the f32 finalize output + i32
+    scratch accumulator the 4096-point block exceeds the 16 MB scoped-VMEM
+    limit (17.3 MB measured)."""
+    block = min(block, 2048)
     gx, gy, gz = grid_shape(scene, leaf_xy, leaf_z)
     n_cells = gx * gy * gz
     w1 = -(-n_cells // 128)
@@ -751,15 +790,22 @@ def _accumulate_pallas_v4(
             pl.BlockSpec((block, 3), lambda b: (b, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((block, 1), lambda b: (b, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (4, w1, 128), lambda b: (0, 0, 0), memory_space=pltpu.VMEM
+        out_specs=(
+            pl.BlockSpec(
+                (4, w1, 128), lambda b: (0, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((1, 1), lambda b: (0, 0), memory_space=pltpu.SMEM),
         ),
-        out_shape=jax.ShapeDtypeStruct((4, w1, 128), jnp.float32),
+        out_shape=(
+            jax.ShapeDtypeStruct((4, w1, 128), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        ),
         scratch_shapes=[pltpu.VMEM((4, w1, 128), jnp.int32)],
         interpret=interpret,
     )(points.astype(jnp.float32), mask.astype(jnp.float32).reshape(n, 1))
 
-    return out.reshape(4, w1 * 128)[:, :n_cells]      # (4, n_cells)
+    out, npts = out
+    return out.reshape(4, w1 * 128)[:, :n_cells], npts[0, 0]  # (4, n_cells), ()
 
 
 def _accumulate_pallas_v4_stacked(
@@ -813,10 +859,18 @@ def _accumulate_pallas_v4_stacked(
                 (1, block, 1), lambda si, b: (si, b, 0), memory_space=pltpu.VMEM
             ),
         ],
-        out_specs=pl.BlockSpec(
-            (1, 4, w1, 128), lambda si, b: (si, 0, 0, 0), memory_space=pltpu.VMEM
+        out_specs=(
+            pl.BlockSpec(
+                (1, 4, w1, 128), lambda si, b: (si, 0, 0, 0), memory_space=pltpu.VMEM
+            ),
+            # whole (1, S) row resident (SMEM blocks must equal the array
+            # dims); each frame writes its own column at program_id(0)
+            pl.BlockSpec((1, s), lambda si, b: (0, 0), memory_space=pltpu.SMEM),
         ),
-        out_shape=jax.ShapeDtypeStruct((s, 4, w1, 128), jnp.float32),
+        out_shape=(
+            jax.ShapeDtypeStruct((s, 4, w1, 128), jnp.float32),
+            jax.ShapeDtypeStruct((1, s), jnp.int32),
+        ),
         scratch_shapes=[pltpu.VMEM((1, 4, w1, 128), jnp.int32)],
         interpret=interpret,
     )(
@@ -824,7 +878,8 @@ def _accumulate_pallas_v4_stacked(
         mask.astype(jnp.float32).reshape(s, n, 1),
     )
 
-    return out.reshape(s, 4, w1 * 128)[:, :, :n_cells]  # (S, 4, n_cells)
+    out, npts = out
+    return out.reshape(s, 4, w1 * 128)[:, :, :n_cells], npts[0]  # (S,4,cells),(S,)
 
 
 def _accumulate_pallas_v3_stacked(

@@ -211,19 +211,32 @@ class Tracker:
         if hoist_acc:
 
             def multi(state, frames, env_a, table_a):
-                accs = stacked_acc(
-                    frames.points,
-                    frames.mask,
-                    cfg.scene,
-                    leaf,
-                    leaf_z,
-                    _pick_block(cfg.caps.n_max_points),
-                )
                 # mask may arrive (S, N) bool or pre-staged (S, N, 1) f32
                 # (bench.stage_stacked pins the latter's layout so the
                 # kernel consumes the parameter with zero relayout copies)
-                msk2 = frames.mask.reshape(frames.mask.shape[0], -1)
-                n_pts = (msk2 != 0).sum(axis=1)
+                if cfg.voxel_quant == "fast":
+                    # the v4 kernel counts valid points in SMEM for free;
+                    # an XLA reduce over the pinned-layout mask uses 1 of
+                    # 128 lanes (~72 us/frame, trace-measured)
+                    accs, n_pts = stacked_acc(
+                        frames.points,
+                        frames.mask,
+                        cfg.scene,
+                        leaf,
+                        leaf_z,
+                        _pick_block(cfg.caps.n_max_points),
+                    )
+                else:
+                    accs = stacked_acc(
+                        frames.points,
+                        frames.mask,
+                        cfg.scene,
+                        leaf,
+                        leaf_z,
+                        _pick_block(cfg.caps.n_max_points),
+                    )
+                    msk2 = frames.mask.reshape(frames.mask.shape[0], -1)
+                    n_pts = (msk2 != 0).sum(axis=1)
 
                 def body(s, xs):
                     acc, t, npts = xs
@@ -571,6 +584,7 @@ def perceive(
         )
 
         pts = frame.points.astype(jnp.dtype(config.dtype))
+        n_pts = None
         if config.voxel_mode == "runs":
             # sort + segsum + small densify matmul: ~10x fewer MACs than the
             # direct one-hot histogram at bench density (see
@@ -588,24 +602,27 @@ def perceive(
                 interpret=jax.default_backend() != "tpu",
             )
         elif config.voxel_mode == "onehot":
-            acc_cm = voxel_accumulate_onehot_cm(
+            acc_cm, n_pts = voxel_accumulate_onehot_cm(
                 pts,
                 frame.mask,
                 config.scene,
                 config.voxel_leaf_size,
                 config.leaf_z,
                 quant=config.voxel_quant,
+                with_npts=True,
             )
         else:
             acc_cm = voxel_accumulate(
                 pts, frame.mask, config.scene, config.voxel_leaf_size, config.leaf_z
             ).T
+        if n_pts is None:
+            n_pts = (frame.mask.ravel() != 0).sum()
         if config.cluster_backend == "grid":
             return _perceive_from_dense_acc(
-                acc_cm, frame.t, (frame.mask.ravel() != 0).sum(), env, config=config, table=table
+                acc_cm, frame.t, n_pts, env, config=config, table=table
             )
         return perceive_from_acc(
-            acc_cm.T, frame.t, (frame.mask.ravel() != 0).sum(), env, config=config, table=table
+            acc_cm.T, frame.t, n_pts, env, config=config, table=table
         )
     if config.voxel_mode in ("scan", "runs"):
         if config.voxel_mode == "runs":

@@ -69,7 +69,7 @@ def main() -> None:
         )
         variants[f"v4-fast  b{block}"] = lambda fr, b=block: vg._accumulate_pallas_v4(
             fr, mask, scene, leaf, leaf_z, b
-        )
+        )[0]
 
     # accuracy check once (against v3 on one frame)
     ref = np.asarray(

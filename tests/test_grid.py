@@ -706,10 +706,11 @@ def test_v4_accumulator_quant_bound(rng):
     ref = voxel_accumulate_onehot_cm(
         jnp.asarray(pts), jnp.asarray(mask), SCENE, LEAF, LEAF_Z, use_pallas=False
     )
-    got = _accumulate_pallas_v4(
+    got, npts = _accumulate_pallas_v4(
         jnp.asarray(pts), jnp.asarray(mask), SCENE, LEAF, LEAF_Z,
         block=512, interpret=True,
     )
+    assert int(npts) == int(mask.sum())
     np.testing.assert_array_equal(np.asarray(got[3]), np.asarray(ref[3]))
     cnt = np.maximum(np.asarray(ref[3]), 1)
     cd = np.abs(np.asarray(got[:3]) - np.asarray(ref[:3])) / cnt
@@ -718,7 +719,7 @@ def test_v4_accumulator_quant_bound(rng):
     # per-point errors so the same bound holds
     assert cd[:2].max() < 2.0 ** -(kx + 1) + 1e-5
     assert cd[2].max() < 2.0 ** -(kz + 1) + 1e-5
-    got2 = _accumulate_pallas_v4(
+    got2, _ = _accumulate_pallas_v4(
         jnp.asarray(pts), jnp.asarray(mask), SCENE, LEAF, LEAF_Z,
         block=512, interpret=True,
     )
@@ -836,12 +837,13 @@ def test_stacked_accumulator_v4_bit_identical(rng):
         axis=2,
     ).astype(np.float32)
     mask = r.random((s, n)) < 0.9
-    got = _accumulate_pallas_v4_stacked(
+    got, npts = _accumulate_pallas_v4_stacked(
         jnp.asarray(pts), jnp.asarray(mask), SCENE, LEAF, LEAF_Z,
         block=512, interpret=True,
     )
+    np.testing.assert_array_equal(np.asarray(npts), mask.sum(axis=1))
     for k in range(s):
-        ref = _accumulate_pallas_v4(
+        ref, _ = _accumulate_pallas_v4(
             jnp.asarray(pts[k]), jnp.asarray(mask[k]), SCENE, LEAF, LEAF_Z,
             block=512, interpret=True,
         )

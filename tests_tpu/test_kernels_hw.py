@@ -51,14 +51,15 @@ def test_v4_accumulator_hw(rng):
 
     pts, mask = _points(rng, 8192)
     ref = voxel_accumulate_onehot_cm(pts, mask, SCENE, LEAF, LEAF_Z, use_pallas=False)
-    got = _accumulate_pallas_v4(pts, mask, SCENE, LEAF, LEAF_Z, block=2048)
+    got, npts = _accumulate_pallas_v4(pts, mask, SCENE, LEAF, LEAF_Z, block=2048)
+    assert int(npts) == int(np.asarray(mask).sum())
     np.testing.assert_array_equal(np.asarray(got[3]), np.asarray(ref[3]))
     cnt = np.maximum(np.asarray(ref[3]), 1)
     cd = np.abs(np.asarray(got[:3]) - np.asarray(ref[:3])) / cnt
     kx, kz = _v4_shifts(LEAF, LEAF_Z)
     assert cd[:2].max() < 2.0 ** -(kx + 1) + 1e-5
     assert cd[2].max() < 2.0 ** -(kz + 1) + 1e-5
-    got2 = _accumulate_pallas_v4(pts, mask, SCENE, LEAF, LEAF_Z, block=2048)
+    got2, _ = _accumulate_pallas_v4(pts, mask, SCENE, LEAF, LEAF_Z, block=2048)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(got2))
 
 
