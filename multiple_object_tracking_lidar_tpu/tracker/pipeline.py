@@ -136,11 +136,13 @@ class Tracker:
         dispatch, and the track state is donated.  Re-bind on map updates
         (rare).  Returns ``step(state, frame) -> (state, output)``.
 
-        (Pinning linear param layouts via jax.experimental.layout to remove
-        the two ~38 us operand relayout copies in front of the accumulator
-        was tried and measured a wash — the copies just turn into an async
-        resharding or an external identity program — so the default layouts
-        stay.)"""
+        Frame staging note: XLA's parameter-layout heuristic assigns
+        (N, 3) float params a transposed {0,1} layout while the accumulator
+        custom call wants standard {1,0}, costing ~77 us/frame of relayout
+        copies.  Callers that stage a reusable frame ring should pin the
+        layout (see bench._stage_frames) — the round-2 "pinning is a wash"
+        finding applied only to operands re-staged every dispatch, where
+        the relayout merely moves into the transfer."""
         cfg, gains = self.config, self.gains_xy
         env_dev, table_dev = self._env_args(env)
         step = jax.jit(
