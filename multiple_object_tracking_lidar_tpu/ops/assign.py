@@ -59,6 +59,23 @@ class AssocResult(NamedTuple):
     #   scan is exact by construction); VERDICT r2 weak #6
 
 
+def _onehot_take(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """``take_along_axis(table, idx[..., None], axis=1)`` as a one-hot
+    batched matmul: out[k, i, :] = table[k, idx[k, i], :].
+
+    The gather lowering works on a (K*L, 4)-shaped operand — 4 of 128 lanes —
+    and measured ~11 us/frame each in the step trace; the one-hot contraction
+    runs on the MXU and is EXACT (each output row has a single nonzero term,
+    1.0 * v at HIGHEST precision)."""
+    n = table.shape[1]
+    oh = (idx[..., None] == jnp.arange(n, dtype=jnp.int32)).astype(table.dtype)
+    return jax.lax.dot_general(
+        oh, table, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=table.dtype,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
 def _interp_backfill(w: jnp.ndarray, det: jnp.ndarray, dt_gp: float) -> jnp.ndarray:
     """Vectorized equivalent of fill_with_linear_interpolation (cpp:593-619).
 
@@ -75,7 +92,7 @@ def _interp_backfill(w: jnp.ndarray, det: jnp.ndarray, dt_gp: float) -> jnp.ndar
 
     ks = jnp.arange(L, dtype=jnp.int32)
     src = ks + lost
-    shifted = w[jnp.clip(src, 0, L - 1)]
+    shifted = _onehot_take(w[None], jnp.clip(src, 0, L - 1)[None])[0]
     jj = (ks - L + lost_c + 1).astype(w.dtype)  # (j+1) for interp region
     d_total = det - last                         # dx, dy total; z total = 0 (cpp:601)
     step_xyz = d_total[:3] / lost_c.astype(w.dtype)
@@ -422,9 +439,9 @@ def apply_window_updates(
     offset = first_reg.astype(jnp.int32)                                 # skip d1 if filled
     ks = jnp.arange(L, dtype=jnp.int32)[None, :]                         # (1, L)
     src = ks + n_push[:, None]                                           # (K, L)
-    from_base = jnp.take_along_axis(base, jnp.clip(src, 0, L - 1)[..., None], axis=1)
+    from_base = _onehot_take(base, jnp.clip(src, 0, L - 1))
     push_idx = jnp.clip(ks - (L - n_push[:, None]) + offset[:, None], 0, D - 1)
-    from_push = jnp.take_along_axis(table, push_idx[..., None], axis=1)
+    from_push = _onehot_take(table, push_idx)
     window = jnp.where((src < L)[..., None], from_base, from_push)
     window = jnp.where((mult > 0)[:, None, None], window, bank.window)
 
