@@ -191,54 +191,78 @@ def _kernel_v2(mp_ref, mpt_ref, mm_ref, cm_ref, fr_ref, *, c, p):
     at ulp level, as for `_kernel`)."""
     f32 = jnp.float32
     i32 = jnp.int32
-    rowi = jax.lax.broadcasted_iota(i32, (p, p), 0)
-    coli = jax.lax.broadcasted_iota(i32, (p, p), 1)
+    sb_rows = 128 if p % 128 == 0 else p
+    n_slabs = p // sb_rows
+    rowi_s = jax.lax.broadcasted_iota(i32, (sb_rows, p), 0)
+    coli_s = jax.lax.broadcasted_iota(i32, (sb_rows, p), 1)
     ones11 = jnp.ones((1, 1), f32)
 
     for ci in range(c):
         mm_row = mm_ref[ci : ci + 1, :]                    # (1, P) f32 0/1
         n_m = jnp.sum(mm_row)
 
+        cm_ref[ci : ci + 1, :] = jnp.full((1, p), -1.0, f32)
+        fr_ref[ci : ci + 1, :] = jnp.full((1, p), p, i32)
+
         @pl.when(n_m > 0.0)
         def _(ci=ci, mm_row=mm_row, n_m=n_m):
-            mp = mp_ref[ci]                                # (P, 3)
             mpt = mpt_ref[ci]                              # (3, P)
-            # (P, 1) mask column from the (1, P) row via MXU transpose
-            # (value transposes do not lower in Mosaic; a (1,P)^T x (1,1)
-            # product is exact for 0/1 values)
-            mmcol = jax.lax.dot_general(
-                mm_row, ones11, (((0,), (0,)), ((), ())),
-                preferred_element_type=f32,
-            )                                              # (P, 1)
             cnt = jnp.maximum(n_m, 1.0)
-            c_row = jnp.sum(mp * mmcol, axis=0, keepdims=True) / cnt  # (1,3)
-            c_col = jax.lax.dot_general(
-                c_row, ones11, (((0,), (0,)), ((), ())),
-                preferred_element_type=f32,
-            )                                              # (3, 1)
-            pc = (mp - c_row) * mmcol                      # (P, 3)
-            pct = (mpt - c_col) * mm_row                   # (3, P)
-            sq_col = jnp.sum(pc * pc, axis=1, keepdims=True)
+            c_row3 = jnp.sum(mpt * mm_row, axis=1, keepdims=True) / cnt  # (3,1)
+            pct = (mpt - c_row3) * mm_row                  # (3, P)
             sq_row = jnp.sum(pct * pct, axis=0, keepdims=True)
-            gram = jax.lax.dot_general(
-                pc, pct, (((1,), (0,)), ((), ())),
+            # (1, 3) mean for the row-slab side via MXU transpose (value
+            # transposes do not lower in Mosaic; a (3,1)^T x (1,1) product
+            # is exact)
+            c_row = jax.lax.dot_general(
+                ones11, c_row3, (((0,), (1,)), ((), ())),
                 preferred_element_type=f32,
-                precision=jax.lax.Precision.HIGHEST,
-            )                                              # (P, P)
-            d2 = sq_col + sq_row - 2.0 * gram
-            pair_ok = (mmcol > 0.0) & (mm_row > 0.0) & (rowi < coli)
-            d2m = jnp.where(pair_ok, d2, -1.0)
-            colmax = jnp.max(d2m, axis=0, keepdims=True)   # (1, P)
-            firstrow = jnp.min(
-                jnp.where(d2m == colmax, rowi, p), axis=0, keepdims=True
-            )                                              # (1, P)
-            cm_ref[ci : ci + 1, :] = colmax
-            fr_ref[ci : ci + 1, :] = firstrow
+            )                                              # (1, 3)
 
-        @pl.when(n_m <= 0.0)
-        def _(ci=ci):
-            cm_ref[ci : ci + 1, :] = jnp.full((1, p), -1.0, f32)
-            fr_ref[ci : ci + 1, :] = jnp.full((1, p), p, i32)
+            # members fill the table PREFIX in ascending cell order, so rows
+            # >= n_m are all-masked: process the (P, P) matrix in row SLABS
+            # and skip slabs past the cluster size at runtime — bench
+            # clusters occupy <= 1 of 3 slabs, dense-scene ones 1-2
+            for sb in range(n_slabs):
+                base = sb * sb_rows
+
+                @pl.when(n_m > float(base))
+                def _(ci=ci, mm_row=mm_row, base=base, c_row=c_row,
+                      pct=pct, sq_row=sq_row):
+                    mp_s = mp_ref[ci, base : base + sb_rows, :]   # (S, 3)
+                    mm_s = mm_ref[ci : ci + 1, base : base + sb_rows]
+                    mmcol_s = jax.lax.dot_general(
+                        mm_s, ones11, (((0,), (0,)), ((), ())),
+                        preferred_element_type=f32,
+                    )                                             # (S, 1)
+                    pc_s = (mp_s - c_row) * mmcol_s               # (S, 3)
+                    sq_col_s = jnp.sum(pc_s * pc_s, axis=1, keepdims=True)
+                    gram_s = jax.lax.dot_general(
+                        pc_s, pct, (((1,), (0,)), ((), ())),
+                        preferred_element_type=f32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )                                             # (S, P)
+                    d2 = sq_col_s + sq_row - 2.0 * gram_s
+                    ri = rowi_s + base
+                    pair_ok = (
+                        (mmcol_s > 0.0) & (mm_row > 0.0) & (ri < coli_s)
+                    )
+                    d2m = jnp.where(pair_ok, d2, -1.0)
+                    cm_s = jnp.max(d2m, axis=0, keepdims=True)    # (1, P)
+                    fr_s = jnp.min(
+                        jnp.where(d2m == cm_s, ri, p), axis=0, keepdims=True
+                    )
+                    cm_old = cm_ref[ci : ci + 1, :]
+                    fr_old = fr_ref[ci : ci + 1, :]
+                    # slabs arrive in ascending row order: on a tie the
+                    # EARLIER slab's row wins (min), matching the unsliced
+                    # first-row-achieving-colmax semantics
+                    cm_ref[ci : ci + 1, :] = jnp.maximum(cm_old, cm_s)
+                    fr_ref[ci : ci + 1, :] = jnp.where(
+                        cm_s > cm_old,
+                        fr_s,
+                        jnp.where(cm_s == cm_old, jnp.minimum(fr_old, fr_s), fr_old),
+                    )
 
 
 def pair_stats_pallas(

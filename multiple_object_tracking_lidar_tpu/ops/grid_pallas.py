@@ -220,6 +220,161 @@ def _kernel(
     nsw_ref[1] = (changed & (n_it >= max_sweeps)).astype(i32)
 
 
+class _Lead0:
+    """Ref adapter prepending a leading 0 index — lets the SAME kernel body
+    serve the single-frame call (blocks (4,R,128)/(R,128)) and the stacked
+    call (per-frame blocks (1,4,R,128)/(1,R,128), grid over frames)."""
+
+    def __init__(self, ref):
+        self._ref = ref
+
+    def _at(self, idx):
+        return (0,) + (idx if isinstance(idx, tuple) else (idx,))
+
+    def __getitem__(self, idx):
+        return self._ref[self._at(idx)]
+
+    def __setitem__(self, idx, v):
+        self._ref[self._at(idx)] = v
+
+
+class _NswCols:
+    """nsw adapter for the stacked call: the (1, 2S) SMEM row stays resident
+    across the whole grid; frame si writes columns (2si, 2si+1)."""
+
+    def __init__(self, ref, si):
+        self._ref = ref
+        self._si = si
+
+    def __setitem__(self, idx, v):
+        self._ref[0, 2 * self._si + idx] = v
+
+
+def _kernel_stacked(
+    scal_ref, acc_ref, brow_ref, bcol_ref, bits_ref,
+    cent_ref, lab_ref, nsw_ref, **kw
+):
+    si = pl.program_id(0)
+    _kernel(
+        scal_ref,
+        _Lead0(acc_ref),
+        brow_ref,
+        bcol_ref,
+        bits_ref,
+        _Lead0(cent_ref),
+        _Lead0(lab_ref),
+        _NswCols(nsw_ref, si),
+        **kw,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "dims", "tol", "leaf_xy", "leaf_z", "kwin", "max_sweeps", "interpret"
+    ),
+)
+def fused_finalize_static_cc_stacked(
+    accs_cm: jax.Array,   # (S, 4, n_cells) f32 channel-major accumulators
+    scal: jax.Array,
+    base_row: jax.Array,
+    base_col: jax.Array,
+    bits: jax.Array,
+    *,
+    dims: tuple[int, int, int],
+    tol: float,
+    leaf_xy: float,
+    leaf_z: float,
+    kwin: int,
+    max_sweeps: int | None = None,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Whole-frame-stack variant: grid over the S frames (map operands stay
+    resident; per-frame results identical to fused_finalize_static_cc —
+    pinned by tests/test_grid.py::test_stacked_fused_cc_matches_per_frame).
+    Returns (cent (S, 3, n), dyn (S, n) bool, labels (S, n) i32,
+    n_sweeps (S,), saturated (S,)).
+
+    STATUS: tested alternative, not wired into a dispatch path.  A fully
+    frame-batched perception was measured SLOWER than the per-frame scan —
+    the cluster-table rank machinery's cumsum intermediates spill to HBM in
+    pathological layouts when batched (docs/PERFORMANCE.md round 3) — so
+    bind_env_pipelined delegates to the scan program on this config.  Kept
+    for future batched-dispatch work (e.g. a fleet tracker batching across
+    streams rather than time)."""
+    gx, gy, gz = dims
+    n = gx * gy * gz
+    if max_sweeps is None:
+        max_sweeps = 2 * (gx + gy + gz)
+    n_pad = -(-n // 1024) * 1024
+    rows = n_pad // _LANES
+    s = accs_cm.shape[0]
+
+    offsets = tuple(
+        o
+        for o in _stencil_offsets(tol, leaf_xy, leaf_z)
+        if abs(o[0]) < gz and abs(o[1]) < gy and abs(o[2]) < gx
+    )
+
+    acc_p = jnp.pad(
+        accs_cm.astype(jnp.float32), ((0, 0), (0, 0), (0, n_pad - n))
+    ).reshape(s, 4, rows, _LANES)
+    pad1 = lambda a: jnp.pad(a, ((0, n_pad - n),)).reshape(rows, _LANES)
+
+    cent4, labels, n_sw = pl.pallas_call(
+        functools.partial(
+            _kernel_stacked,
+            dims=dims,
+            n=n,
+            rows=rows,
+            offsets=offsets,
+            kwin=kwin,
+            max_sweeps=max_sweeps,
+        ),
+        grid=(s,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (1, 4, rows, _LANES),
+                lambda si: (si, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((rows, _LANES), lambda si: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, _LANES), lambda si: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, _LANES), lambda si: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, 4, rows, _LANES),
+                lambda si: (si, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, rows, _LANES), lambda si: (si, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((1, 2 * s), lambda si: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((s, 4, rows, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((s, rows, _LANES), jnp.int32),
+            jax.ShapeDtypeStruct((1, 2 * s), jnp.int32),
+        ],
+        interpret=interpret,
+    )(
+        scal.astype(jnp.float32),
+        acc_p,
+        pad1(base_row.astype(jnp.int32)),
+        pad1(base_col.astype(jnp.int32)),
+        pad1(bits.astype(jnp.int32)),
+    )
+
+    flat4 = cent4.reshape(s, 4, n_pad)
+    cent = flat4[:, :3, :n]
+    dyn = flat4[:, 3, :n] > 0.0
+    nsw = n_sw.reshape(s, 2)
+    return cent, dyn, labels.reshape(s, n_pad)[:, :n], nsw[:, 0], nsw[:, 1]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(

@@ -264,14 +264,38 @@ class Tracker:
 
     def bind_env_pipelined(self, env: MapEnv, donate_state: bool = True):
         """Highest-throughput shape: the stateless perception front-end (all
-        the heavy compute) runs BATCHED over the frame axis in one program
-        (vmap), and only the tiny stateful tracking back-end scans the
-        sequential chain in a second program.  Numerically equivalent to
-        frame-by-frame step() at ulp level (XLA may reorder f32 ops across
-        the two-program split; see tests/test_dispatch.py); for bit-identical
-        semantics use bind_env_multi.  Perception never reads tracker state.
-        Returns ``run(state, frames_stacked) -> (state, outputs_stacked)``."""
+        the heavy compute) runs BATCHED over the frame axis, and only the
+        tiny stateful tracking back-end scans the sequential chain.
+        Numerically equivalent to frame-by-frame step() at ulp level (XLA
+        may reorder f32 ops across the batch; see tests/test_dispatch.py);
+        for bit-identical semantics use bind_env_multi.  Perception never
+        reads tracker state.
+        Returns ``run(state, frames_stacked) -> (state, outputs_stacked)``.
+
+        On the onehot+grid TPU kernel config this DELEGATES to the
+        bind_env_multi program (hoisted stacked accumulate + per-frame scan):
+        a genuinely frame-batched perception was built and measured SLOWER —
+        the cluster-table rank machinery's ~6.6 MB/frame cumsum
+        intermediates spill to HBM in pathological layouts when batched
+        (trace: >100 us pads/slices on (8, 110, 50, 301) tensors), and the
+        per-frame kernels do not vmap (Mosaic rejects their 1-D scalar
+        outputs under batching).  The scan dispatch is the faster shape for
+        this tail on this hardware; see ops/grid_pallas.py
+        fused_finalize_static_cc_stacked for the tested frame-batched CC
+        kernel kept for future batched dispatch work.  Other configs keep
+        the two-program vmap(perceive) + scan structure."""
         cfg, gains = self.config, self.gains_xy
+
+        fast = (
+            cfg.voxel_mode == "onehot"
+            and cfg.cluster_backend == "grid"
+            and jnp.dtype(cfg.dtype) == jnp.float32
+            and jax.default_backend() == "tpu"
+            and self._env_table(env) is not None
+        )
+        if fast:
+            return self.bind_env_multi(env, donate_state=donate_state)
+
         env_dev, table_dev = self._env_args(env)
 
         perceive_jit = jax.jit(

@@ -794,6 +794,80 @@ def test_centroid_pallas_v2_matches_table_path(rng):
         np.asarray(got)[ok], np.asarray(ref)[ok], rtol=0, atol=1e-5
     )
 
+    # multi-slab shape (P = 256 -> two 128-row slabs): cluster sizes chosen
+    # to land in one slab, straddle the boundary, and fill both
+    cc2, p2 = 4, 256
+    mpts2 = np.zeros((cc2, p2, 3), np.float32)
+    mm2 = np.zeros((cc2, p2), bool)
+    for c, nmem in enumerate([40, 128, 130, 250]):
+        mpts2[c, :nmem] = np.round(r.normal(0, 1, (nmem, 3)) * 10) / 10
+        mm2[c, :nmem] = True
+    ref2 = circumcenter_features_table(
+        jnp.asarray(mpts2), jnp.asarray(mm2), jnp.float32(0.3)
+    )
+    got2 = circumcenter_features_table_pallas_v2(
+        jnp.asarray(mpts2), jnp.asarray(mm2), jnp.float32(0.3), interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(got2), np.asarray(ref2), rtol=0, atol=1e-5
+    )
+
+
+def test_stacked_fused_cc_matches_per_frame(rng, fixture_map):
+    """fused_finalize_static_cc_stacked (interpret) == per-frame
+    fused_finalize_static_cc, frame by frame, bit-for-bit."""
+    from multiple_object_tracking_lidar_tpu.ops.grid_pallas import (
+        fused_finalize_static_cc,
+        fused_finalize_static_cc_stacked,
+    )
+    from multiple_object_tracking_lidar_tpu.ops.static_mask import (
+        build_cell_static_table,
+        build_static_mask,
+    )
+    from multiple_object_tracking_lidar_tpu.ops.voxel_grid import (
+        voxel_accumulate_onehot_cm,
+    )
+
+    env = build_static_mask(fixture_map, 4, 50)
+    dims = grid_shape(SCENE, LEAF, LEAF_Z)
+    table = build_cell_static_table(env, SCENE, LEAF, *dims)
+    assert table is not None
+    scal = jnp.stack(
+        [env.origin_x, env.origin_y, env.cos_nyaw, env.sin_nyaw,
+         env.inv_resolution, jnp.float32(TOL * TOL)]
+    )
+
+    r = np.random.default_rng(41)
+    s, n = 3, 1500
+    accs = []
+    for k in range(s):
+        pts = np.stack(
+            [r.uniform(-2.5, 2.5, n), r.uniform(-1.5, 5.5, n), r.uniform(0, 2, n)],
+            axis=1,
+        ).astype(np.float32)
+        accs.append(
+            voxel_accumulate_onehot_cm(
+                jnp.asarray(pts), jnp.ones(n, bool), SCENE, LEAF, LEAF_Z,
+                use_pallas=False,
+            ).astype(jnp.float32)
+        )
+    accs_j = jnp.stack(accs)
+
+    kw = dict(dims=dims, tol=TOL, leaf_xy=LEAF, leaf_z=LEAF_Z, kwin=table.k,
+              interpret=True)
+    cents, dyns, labs, nsws, sats = fused_finalize_static_cc_stacked(
+        accs_j, scal, table.base_row, table.base_col, table.bits, **kw
+    )
+    for k in range(s):
+        cent, dyn, lab, nsw, sat = fused_finalize_static_cc(
+            accs[k], scal, table.base_row, table.base_col, table.bits, **kw
+        )
+        np.testing.assert_array_equal(np.asarray(cents[k]), np.asarray(cent))
+        np.testing.assert_array_equal(np.asarray(dyns[k]), np.asarray(dyn))
+        np.testing.assert_array_equal(np.asarray(labs[k]), np.asarray(lab))
+        assert int(nsws[k]) == int(nsw)
+        assert int(sats[k]) == int(sat)
+
 
 def test_stacked_accumulator_bit_identical(rng):
     """The batched (S, N, 3) accumulator == the per-frame kernel,
