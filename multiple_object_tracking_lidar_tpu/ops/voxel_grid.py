@@ -132,13 +132,14 @@ def voxel_accumulate_onehot_cm(
         # frac silently wraps in the int8 narrow, so fall back to the bf16x3
         # v2 kernel (exact at any leaf size).  ADVICE r2.
         if _v3_leaf_ok(leaf_xy, leaf_z):
-            acc = _accumulate_pallas_v3(
+            acc, npts = _accumulate_pallas_v3(
                 points, mask, scene, leaf_xy, leaf_z, block
-            ).astype(points.dtype)
-        else:
-            acc = _accumulate_pallas_v2(
-                points, mask, scene, leaf_xy, leaf_z, block
-            ).astype(points.dtype)
+            )
+            acc = acc.astype(points.dtype)
+            return (acc, npts) if with_npts else acc
+        acc = _accumulate_pallas_v2(
+            points, mask, scene, leaf_xy, leaf_z, block
+        ).astype(points.dtype)
         if with_npts:
             return acc, (mask.ravel() != 0).sum()
         return acc
@@ -389,30 +390,102 @@ def _v3_leaf_ok(leaf_xy: float, leaf_z: float) -> bool:
 
 
 def _acc_kernel_v3(
-    pts_ref, msk_ref, out_ref, *, block, gx, gy, gz, gyz, w1,
-    inv_xy, inv_z, leaf_xy, leaf_z, bx, by, bz
+    pts_ref, msk_ref, out_ref, npts_ref, acc_ref, *, block, gx, gy, gz, gyz,
+    w1, inv_xy, inv_z, leaf_xy, leaf_z, bx, by, bz
 ):
+    b = pl.program_id(0)
     _acc_v3_body(
-        pts_ref[...], msk_ref[...], out_ref, (), pl.program_id(0) == 0,
+        pts_ref[...], msk_ref[...], acc_ref, (), b == 0,
         block=block, gx=gx, gy=gy, gz=gz, w1=w1, inv_xy=inv_xy, inv_z=inv_z,
         leaf_xy=leaf_xy, leaf_z=leaf_z, bx=bx, by=by, bz=bz,
     )
+    blk = jnp.sum((msk_ref[...] > 0.0).astype(jnp.int32))
+
+    @pl.when(b == 0)
+    def _():
+        npts_ref[0, 0] = blk
+
+    @pl.when(b > 0)
+    def _():
+        npts_ref[0, 0] = npts_ref[0, 0] + blk
+
+    @pl.when(b == pl.num_programs(0) - 1)
+    def _():
+        _v3_finalize_into(
+            out_ref, acc_ref, (), gx=gx, gy=gy, w1=w1,
+            leaf_xy=leaf_xy, leaf_z=leaf_z, bx=bx, by=by, bz=bz,
+        )
 
 
 def _acc_kernel_v3_stacked(
-    pts_ref, msk_ref, out_ref, *, block, gx, gy, gz, gyz, w1,
-    inv_xy, inv_z, leaf_xy, leaf_z, bx, by, bz
+    pts_ref, msk_ref, out_ref, npts_ref, acc_ref, *, block, gx, gy, gz, gyz,
+    w1, inv_xy, inv_z, leaf_xy, leaf_z, bx, by, bz
 ):
     """Batched variant: grid (S, N//block); one revolving output per frame.
     Accumulating ALL frames of a scan dispatch in ONE call keeps the big
     (S, N, 3) operand's tiled->linear relayout loop-invariant (XLA hoists
     it out of the scan) instead of paying ~110 us of per-frame slice+copy
     inside the sequential chain (trace-measured)."""
+    b = pl.program_id(1)
+    si = pl.program_id(0)
     _acc_v3_body(
-        pts_ref[0], msk_ref[0], out_ref, (0,), pl.program_id(1) == 0,
+        pts_ref[0], msk_ref[0], acc_ref, (0,), b == 0,
         block=block, gx=gx, gy=gy, gz=gz, w1=w1, inv_xy=inv_xy, inv_z=inv_z,
         leaf_xy=leaf_xy, leaf_z=leaf_z, bx=bx, by=by, bz=bz,
     )
+    blk = jnp.sum((msk_ref[0] > 0.0).astype(jnp.int32))
+
+    @pl.when(b == 0)
+    def _():
+        npts_ref[0, si] = blk
+
+    @pl.when(b > 0)
+    def _():
+        npts_ref[0, si] = npts_ref[0, si] + blk
+
+    @pl.when(b == pl.num_programs(1) - 1)
+    def _():
+        _v3_finalize_into(
+            out_ref, acc_ref, (0,), gx=gx, gy=gy, w1=w1,
+            leaf_xy=leaf_xy, leaf_z=leaf_z, bx=bx, by=by, bz=bz,
+        )
+
+
+def _v3_finalize_into(
+    out_ref, acc_ref, lead, *, gx, gy, w1, leaf_xy, leaf_z, bx, by, bz
+):
+    """In-kernel v3 finalize (same rationale as _v4_finalize_into): the
+    7 integer digit-sum channels -> f32 [sum_x, sum_y, sum_z, count] on the
+    (w1, 128) grid.  Cell centers use the SAME f32 products as the kernel's
+    quantize step; results are bit-identical to the old XLA-side
+    reconstruction."""
+    f32 = jnp.float32
+    i32 = jnp.int32
+    u = jax.lax.broadcasted_iota(i32, (w1, 128), 0)
+    v = jax.lax.broadcasted_iota(i32, (w1, 128), 1)
+    lin = 128 * u + v
+    ix = lin % gx
+    iyz = lin // gx
+    iy = iyz % gy
+    iz = iyz // gy
+    cx = (bx + ix).astype(f32) * f32(leaf_xy)
+    cy = (by + iy).astype(f32) * f32(leaf_xy)
+    cz = (bz + iz).astype(f32) * f32(leaf_z)
+    inv_xyq = f32(1.0 / (1 << _FXP_XY))
+    inv_zq = f32(1.0 / (1 << _FXP_Z))
+    half_xy = f32(0.5 * leaf_xy)
+    half_z = f32(0.5 * leaf_z)
+    cnt = acc_ref[lead + (6,)].astype(f32)
+    s0 = acc_ref[lead + (0,)].astype(f32)
+    s1 = acc_ref[lead + (1,)].astype(f32)
+    s2 = acc_ref[lead + (2,)].astype(f32)
+    s3 = acc_ref[lead + (3,)].astype(f32)
+    s4 = acc_ref[lead + (4,)].astype(f32)
+    s5 = acc_ref[lead + (5,)].astype(f32)
+    out_ref[lead + (0,)] = cnt * (cx + half_xy) + (s0 + 256.0 * s1) * inv_xyq
+    out_ref[lead + (1,)] = cnt * (cy + half_xy) + (s2 + 256.0 * s3) * inv_xyq
+    out_ref[lead + (2,)] = cnt * (cz + half_z) + (s4 + 256.0 * s5) * inv_zq
+    out_ref[lead + (3,)] = cnt
 
 
 def _acc_v3_body(
@@ -511,9 +584,15 @@ def _accumulate_pallas_v3(
     block: int,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """(4, n_cells) channel-major accumulator via the int8 fixed-point
-    kernel.  Sums are bit-deterministic (integer digit accumulation);
-    centroids agree with the f32 paths to ~1e-6 (xy) / ~3e-5 (z)."""
+    """((4, n_cells) channel-major accumulator, scalar valid-point count)
+    via the int8 fixed-point kernel.  Sums are bit-deterministic (integer
+    digit accumulation); centroids agree with the f32 paths to ~1e-6 (xy) /
+    ~3e-5 (z).  Finalize + mask count run in-kernel (same rationale as v4:
+    XLA-side reconstruction costs constant prefetches + fusions per frame,
+    the pinned-layout mask reduce is 1-of-128-lanes).  Block capped at 2048:
+    the f32 finalize output + 7-channel i32 scratch exceed scoped VMEM at
+    4096."""
+    block = min(block, 2048)
     gx, gy, gz = grid_shape(scene, leaf_xy, leaf_z)
     gyz = gy * gz
     n_cells = gx * gy * gz
@@ -523,7 +602,7 @@ def _accumulate_pallas_v3(
     bz = math.floor(scene.z_min / leaf_z)
     n = points.shape[0]
 
-    out = pl.pallas_call(
+    out, npts = pl.pallas_call(
         functools.partial(
             _acc_kernel_v3,
             block=block,
@@ -545,32 +624,21 @@ def _accumulate_pallas_v3(
             pl.BlockSpec((block, 3), lambda b: (b, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((block, 1), lambda b: (b, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (7, w1, 128), lambda b: (0, 0, 0), memory_space=pltpu.VMEM
+        out_specs=(
+            pl.BlockSpec(
+                (4, w1, 128), lambda b: (0, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((1, 1), lambda b: (0, 0), memory_space=pltpu.SMEM),
         ),
-        out_shape=jax.ShapeDtypeStruct((7, w1, 128), jnp.int32),
+        out_shape=(
+            jax.ShapeDtypeStruct((4, w1, 128), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        ),
+        scratch_shapes=[pltpu.VMEM((7, w1, 128), jnp.int32)],
         interpret=interpret,
     )(points.astype(jnp.float32), mask.astype(jnp.float32).reshape(n, 1))
 
-    S = out.reshape(7, w1 * 128)[:, :n_cells].astype(jnp.float32)
-    idx = jnp.arange(n_cells, dtype=jnp.int32)
-    ix = idx % gx
-    iyz = idx // gx
-    iy = iyz % gy
-    iz = iyz // gy
-    cnt = S[6]
-    # cell centers use the SAME f32 products as the kernel's cell0 + leaf/2
-    cx = (bx + ix).astype(jnp.float32) * jnp.float32(leaf_xy)
-    cy = (by + iy).astype(jnp.float32) * jnp.float32(leaf_xy)
-    cz = (bz + iz).astype(jnp.float32) * jnp.float32(leaf_z)
-    inv_xyq = jnp.float32(1.0 / (1 << _FXP_XY))
-    inv_zq = jnp.float32(1.0 / (1 << _FXP_Z))
-    half_xy = jnp.float32(0.5 * leaf_xy)
-    half_z = jnp.float32(0.5 * leaf_z)
-    sx = cnt * (cx + half_xy) + (S[0] + 256.0 * S[1]) * inv_xyq
-    sy = cnt * (cy + half_xy) + (S[2] + 256.0 * S[3]) * inv_xyq
-    sz = cnt * (cz + half_z) + (S[4] + 256.0 * S[5]) * inv_zq
-    return jnp.stack([sx, sy, sz, cnt], axis=0)       # (4, n_cells)
+    return out.reshape(4, w1 * 128)[:, :n_cells], npts[0, 0]
 
 
 def _v4_shifts(leaf_xy: float, leaf_z: float) -> tuple[int, int]:
@@ -891,9 +959,10 @@ def _accumulate_pallas_v3_stacked(
     block: int,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """(S, 4, n_cells) channel-major accumulators for a whole frame stack in
-    ONE kernel call (see _acc_kernel_v3_stacked).  Per-frame results are
-    bit-identical to _accumulate_pallas_v3.
+    """((S, 4, n_cells) channel-major accumulators, (S,) valid-point
+    counts) for a whole frame stack in ONE kernel call (see
+    _acc_kernel_v3_stacked).  Per-frame results are bit-identical to
+    _accumulate_pallas_v3.
 
     Consumed by bind_env_multi (voxel_quant="exact"): hoisting the whole
     dispatch's accumulation out of the scan pays the (S, N, 3) operand's
@@ -940,34 +1009,27 @@ def _accumulate_pallas_v3_stacked(
                 (1, block, 1), lambda si, b: (si, b, 0), memory_space=pltpu.VMEM
             ),
         ],
-        out_specs=pl.BlockSpec(
-            (1, 7, w1, 128), lambda si, b: (si, 0, 0, 0), memory_space=pltpu.VMEM
+        out_specs=(
+            pl.BlockSpec(
+                (1, 4, w1, 128), lambda si, b: (si, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            # whole (1, S) row resident; frame si writes its own column
+            pl.BlockSpec((1, s), lambda si, b: (0, 0), memory_space=pltpu.SMEM),
         ),
-        out_shape=jax.ShapeDtypeStruct((s, 7, w1, 128), jnp.int32),
+        out_shape=(
+            jax.ShapeDtypeStruct((s, 4, w1, 128), jnp.float32),
+            jax.ShapeDtypeStruct((1, s), jnp.int32),
+        ),
+        scratch_shapes=[pltpu.VMEM((1, 7, w1, 128), jnp.int32)],
         interpret=interpret,
     )(
         points.astype(jnp.float32),
         mask.astype(jnp.float32).reshape(s, n, 1),
     )
 
-    Sd = out.reshape(s, 7, w1 * 128)[:, :, :n_cells].astype(jnp.float32)
-    idx = jnp.arange(n_cells, dtype=jnp.int32)
-    ix = idx % gx
-    iyz = idx // gx
-    iy = iyz % gy
-    iz = iyz // gy
-    cnt = Sd[:, 6]
-    cx = (bx + ix).astype(jnp.float32) * jnp.float32(leaf_xy)
-    cy = (by + iy).astype(jnp.float32) * jnp.float32(leaf_xy)
-    cz = (bz + iz).astype(jnp.float32) * jnp.float32(leaf_z)
-    inv_xyq = jnp.float32(1.0 / (1 << _FXP_XY))
-    inv_zq = jnp.float32(1.0 / (1 << _FXP_Z))
-    half_xy = jnp.float32(0.5 * leaf_xy)
-    half_z = jnp.float32(0.5 * leaf_z)
-    sx = cnt * (cx + half_xy)[None] + (Sd[:, 0] + 256.0 * Sd[:, 1]) * inv_xyq
-    sy = cnt * (cy + half_xy)[None] + (Sd[:, 2] + 256.0 * Sd[:, 3]) * inv_xyq
-    sz = cnt * (cz + half_z)[None] + (Sd[:, 4] + 256.0 * Sd[:, 5]) * inv_zq
-    return jnp.stack([sx, sy, sz, cnt], axis=1)       # (S, 4, n_cells)
+    out, npts = out
+    return out.reshape(s, 4, w1 * 128)[:, :, :n_cells], npts[0]
 
 
 def _accumulate_pallas(

@@ -216,29 +216,17 @@ class Tracker:
                 # mask may arrive (S, N) bool or pre-staged (S, N, 1) f32
                 # (bench.stage_stacked pins the latter's layout so the
                 # kernel consumes the parameter with zero relayout copies)
-                if cfg.voxel_quant == "fast":
-                    # the v4 kernel counts valid points in SMEM for free;
-                    # an XLA reduce over the pinned-layout mask uses 1 of
-                    # 128 lanes (~72 us/frame, trace-measured)
-                    accs, n_pts = stacked_acc(
-                        frames.points,
-                        frames.mask,
-                        cfg.scene,
-                        leaf,
-                        leaf_z,
-                        _pick_block(cfg.caps.n_max_points),
-                    )
-                else:
-                    accs = stacked_acc(
-                        frames.points,
-                        frames.mask,
-                        cfg.scene,
-                        leaf,
-                        leaf_z,
-                        _pick_block(cfg.caps.n_max_points),
-                    )
-                    msk2 = frames.mask.reshape(frames.mask.shape[0], -1)
-                    n_pts = (msk2 != 0).sum(axis=1)
+                # both stacked kernels count valid points in SMEM for
+                # free; an XLA reduce over the pinned-layout mask uses 1
+                # of 128 lanes (~72 us/frame, trace-measured)
+                accs, n_pts = stacked_acc(
+                    frames.points,
+                    frames.mask,
+                    cfg.scene,
+                    leaf,
+                    leaf_z,
+                    _pick_block(cfg.caps.n_max_points),
+                )
 
                 def body(s, xs):
                     acc, t, npts = xs

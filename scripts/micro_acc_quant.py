@@ -66,14 +66,14 @@ def main() -> None:
             continue
         variants[f"v3-exact b{block}"] = lambda fr, b=block: vg._accumulate_pallas_v3(
             fr, mask, scene, leaf, leaf_z, b
-        )
+        )[0]
         variants[f"v4-fast  b{block}"] = lambda fr, b=block: vg._accumulate_pallas_v4(
             fr, mask, scene, leaf, leaf_z, b
         )[0]
 
     # accuracy check once (against v3 on one frame)
     ref = np.asarray(
-        jax.jit(lambda fr: vg._accumulate_pallas_v3(fr, mask, scene, leaf, leaf_z, 4096))(
+        jax.jit(lambda fr: vg._accumulate_pallas_v3(fr, mask, scene, leaf, leaf_z, 4096)[0])(
             frames[0]
         )
     )

@@ -669,17 +669,18 @@ def test_v3_accumulator_matches_jnp(rng):
     ref = voxel_accumulate_onehot_cm(
         jnp.asarray(pts), jnp.asarray(mask), SCENE, LEAF, LEAF_Z, use_pallas=False
     )
-    got = _accumulate_pallas_v3(
+    got, npts = _accumulate_pallas_v3(
         jnp.asarray(pts), jnp.asarray(mask), SCENE, LEAF, LEAF_Z,
         block=512, interpret=True,
     )
+    assert int(npts) == int(mask.sum())
     np.testing.assert_array_equal(np.asarray(got[3]), np.asarray(ref[3]))
     cnt = np.maximum(np.asarray(ref[3]), 1)
     cd = np.abs(np.asarray(got[:3]) - np.asarray(ref[:3])) / cnt
     assert cd[:2].max() < 5e-6   # xy: 2^-19 frac digits
     assert cd[2].max() < 6e-5    # z: 2^-14 over the 20x z-leaf
     # determinism: identical run -> bit-identical sums
-    got2 = _accumulate_pallas_v3(
+    got2, _ = _accumulate_pallas_v3(
         jnp.asarray(pts), jnp.asarray(mask), SCENE, LEAF, LEAF_Z,
         block=512, interpret=True,
     )
@@ -884,12 +885,13 @@ def test_stacked_accumulator_bit_identical(rng):
         axis=2,
     ).astype(np.float32)
     mask = r.random((s, n)) < 0.9
-    got = _accumulate_pallas_v3_stacked(
+    got, npts = _accumulate_pallas_v3_stacked(
         jnp.asarray(pts), jnp.asarray(mask), SCENE, LEAF, LEAF_Z,
         block=512, interpret=True,
     )
+    np.testing.assert_array_equal(np.asarray(npts), mask.sum(axis=1))
     for k in range(s):
-        ref = _accumulate_pallas_v3(
+        ref, _ = _accumulate_pallas_v3(
             jnp.asarray(pts[k]), jnp.asarray(mask[k]), SCENE, LEAF, LEAF_Z,
             block=512, interpret=True,
         )

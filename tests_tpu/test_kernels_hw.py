@@ -28,14 +28,15 @@ def test_v3_accumulator_hw(rng):
 
     pts, mask = _points(rng, 8192)
     ref = voxel_accumulate_onehot_cm(pts, mask, SCENE, LEAF, LEAF_Z, use_pallas=False)
-    got = _accumulate_pallas_v3(pts, mask, SCENE, LEAF, LEAF_Z, block=2048)
+    got, npts3 = _accumulate_pallas_v3(pts, mask, SCENE, LEAF, LEAF_Z, block=2048)
+    assert int(npts3) == int(np.asarray(mask).sum())
     np.testing.assert_array_equal(np.asarray(got[3]), np.asarray(ref[3]))
     cnt = np.maximum(np.asarray(ref[3]), 1)
     cd = np.abs(np.asarray(got[:3]) - np.asarray(ref[:3])) / cnt
     assert cd[:2].max() < 5e-6
     assert cd[2].max() < 6e-5
     # bit-determinism on-device: two executions agree exactly
-    got2 = _accumulate_pallas_v3(pts, mask, SCENE, LEAF, LEAF_Z, block=2048)
+    got2, _ = _accumulate_pallas_v3(pts, mask, SCENE, LEAF, LEAF_Z, block=2048)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(got2))
 
 
