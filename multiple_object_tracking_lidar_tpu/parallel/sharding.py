@@ -63,8 +63,15 @@ class ShardedTracker:
 
     def __post_init__(self):
         # lax.cond's branch-VMA reconciliation fails under shard_map in
-        # current JAX; select-both mode is semantically identical
-        cfg = dataclasses.replace(self.tracker.config, assoc_cond_branch=False)
+        # current JAX; select-both mode is semantically identical.  The
+        # association Pallas kernel likewise does not lower under
+        # shard_map+vmap (its ShapeDtypeStruct outputs carry no VMA and the
+        # batcher rejects its 1-D scalar outputs), so the fleet path pins
+        # the jnp associator — decisions are bit-identical by construction
+        # (tests/test_assign_pallas.py).
+        cfg = dataclasses.replace(
+            self.tracker.config, assoc_cond_branch=False, assoc_backend="jnp"
+        )
         gains_xy = self.tracker.gains_xy
 
         def local_fn(bank_state, points, mask, t, env):
