@@ -61,8 +61,14 @@ def main() -> int:
     sc = Scenario(
         grid=grid,
         objects=[
-            ScenarioObject(0.0, 1.0, 0.0, 0.45, points_per_frame=1500),
-            ScenarioObject(-0.8, 4.0, 0.35, 0.0, points_per_frame=1500),
+            # patrols (turn_every) keep the objects inside the map however
+            # long the soak runs — constant-velocity walkers exit the scene
+            # after ~10-20 s and the publish gate correctly goes quiet,
+            # which is a scenario artifact, not a node failure
+            ScenarioObject(0.0, 1.0, 0.0, 0.45, points_per_frame=1500,
+                           turn_every=8.0),
+            ScenarioObject(-0.8, 4.0, 0.35, 0.0, points_per_frame=1500,
+                           turn_every=6.0),
         ],
         static_points_per_frame=max(0, n_valid - 3000),
         seed=99,
