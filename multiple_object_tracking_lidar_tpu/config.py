@@ -171,7 +171,7 @@ class TrackerConfig:
                                          # ~1e-6) | "fast" (1 digit: 4 MXU
                                          # streams instead of 7, ~150 us less
                                          # per frame; quantizes each point to
-                                         # <= leaf/504 — ~0.2 mm xy at the
+                                         # <= leaf/252 — ~0.2 mm xy at the
                                          # 0.1 m leaf, far below LiDAR noise).
                                          # Both are bit-deterministic integer
                                          # sums; non-TPU paths ignore this.

@@ -66,7 +66,18 @@ def _onehot_take(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     The gather lowering works on a (K*L, 4)-shaped operand — 4 of 128 lanes —
     and measured ~11 us/frame each in the step trace; the one-hot contraction
     runs on the MXU and is EXACT (each output row has a single nonzero term,
-    1.0 * v at HIGHEST precision)."""
+    1.0 * v at HIGHEST precision).
+
+    Non-finite caveat: a contraction computes 0 * v for the NON-selected
+    entries, so a single Inf/NaN anywhere in a table row poisons every
+    output of that row (0 * Inf = NaN) where a true gather only propagated
+    the selected element.  The only non-finite source upstream is a
+    subnormal-G circumcenter division (the reference's own float division,
+    cpp:787-809, overflows identically there); in both formulations that
+    track's window carries a non-finite sample and its GP output is already
+    NaN until the sample ages out, and the node's NaN watchdog flags it —
+    the blast radius differs (row vs element) but the observable outcome
+    does not."""
     n = table.shape[1]
     oh = (idx[..., None] == jnp.arange(n, dtype=jnp.int32)).astype(table.dtype)
     return jax.lax.dot_general(

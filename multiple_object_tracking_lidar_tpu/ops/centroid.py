@@ -169,11 +169,16 @@ def circumcenter_from_pair_stats(
         jnp.where(hit & (fr == i_star[:, None]), lane, p).min(axis=1),
         0,
     )
-    # row extraction via one-hot sums (exactly one nonzero term — exact)
+    # row extraction via one-hot sums: exactly one nonzero term, and
+    # HIGHEST precision keeps the 1.0 * v product in full f32 — TPU's
+    # DEFAULT matmul precision multiplies in bf16, which would round the
+    # extracted coordinates and break the value-equality skips and the
+    # G == 0 collinearity test below
+    hi = jax.lax.Precision.HIGHEST
     oh_i = (lane == i_star[:, None]).astype(dtype)         # (C, P)
     oh_j = (lane == j_star[:, None]).astype(dtype)
-    pi = jnp.einsum("cp,cpk->ck", oh_i, mpts)              # (C, 3)
-    pj = jnp.einsum("cp,cpk->ck", oh_j, mpts)
+    pi = jnp.einsum("cp,cpk->ck", oh_i, mpts, precision=hi)  # (C, 3)
+    pj = jnp.einsum("cp,cpk->ck", oh_j, mpts, precision=hi)
 
     xs, ys, zs = mpts[:, :, 0], mpts[:, :, 1], mpts[:, :, 2]
     pix, piy, piz = pi[:, 0:1], pi[:, 1:2], pi[:, 2:3]
@@ -188,7 +193,7 @@ def circumcenter_from_pair_stats(
     k_mask = member_mask & ~eq_i & ~eq_j
     k_star = jnp.argmax(jnp.where(k_mask, line_d, -1.0), axis=1)
     oh_k = (lane == k_star[:, None]).astype(dtype)
-    pk = jnp.einsum("cp,cpk->ck", oh_k, mpts)
+    pk = jnp.einsum("cp,cpk->ck", oh_k, mpts, precision=hi)
     pkx, pky = pk[:, 0:1], pk[:, 1:2]
 
     a = pjx - pix

@@ -217,6 +217,10 @@ def _kernel_v2(mp_ref, mpt_ref, mm_ref, cm_ref, fr_ref, *, c, p):
             c_row = jax.lax.dot_general(
                 ones11, c_row3, (((0,), (1,)), ((), ())),
                 preferred_element_type=f32,
+                # HIGHEST: Mosaic's default matmul precision multiplies in
+                # bf16, which would round the mean on the row side while
+                # the column side (pct) uses the full-f32 mean
+                precision=jax.lax.Precision.HIGHEST,
             )                                              # (1, 3)
 
             # members fill the table PREFIX in ascending cell order, so rows

@@ -275,7 +275,7 @@ def _acc_kernel_v2(
     ).astype(jnp.int32)
     i3 = jnp.floor(p * inv3).astype(jnp.int32) - b3   # (B, 3)
     ok3 = (i3 >= 0) & (i3 < g3)
-    ok = jnp.all(ok3, axis=1, keepdims=True) & (msk_ref[...] > 0.0)  # (B, 1)
+    ok = jnp.all(ok3, axis=1, keepdims=True) & (msk_ref[...] != 0.0)  # (B, 1)
 
     ix = i3[:, 0:1]
     iyz = i3[:, 1:2] + gy * i3[:, 2:3]                # (B, 1)
@@ -399,7 +399,7 @@ def _acc_kernel_v3(
         block=block, gx=gx, gy=gy, gz=gz, w1=w1, inv_xy=inv_xy, inv_z=inv_z,
         leaf_xy=leaf_xy, leaf_z=leaf_z, bx=bx, by=by, bz=bz,
     )
-    blk = jnp.sum((msk_ref[...] > 0.0).astype(jnp.int32))
+    blk = jnp.sum((msk_ref[...] != 0.0).astype(jnp.int32))
 
     @pl.when(b == 0)
     def _():
@@ -433,7 +433,7 @@ def _acc_kernel_v3_stacked(
         block=block, gx=gx, gy=gy, gz=gz, w1=w1, inv_xy=inv_xy, inv_z=inv_z,
         leaf_xy=leaf_xy, leaf_z=leaf_z, bx=bx, by=by, bz=bz,
     )
-    blk = jnp.sum((msk_ref[0] > 0.0).astype(jnp.int32))
+    blk = jnp.sum((msk_ref[0] != 0.0).astype(jnp.int32))
 
     @pl.when(b == 0)
     def _():
@@ -528,7 +528,7 @@ def _acc_v3_body(
     ).astype(i32)
     i3 = jnp.floor(p * inv3).astype(i32) - b3         # (B, 3)
     ok3 = (i3 >= 0) & (i3 < g3) & (p == p)            # NaN coords drop here
-    ok = jnp.all(ok3, axis=1, keepdims=True) & (m > 0.0)  # (B, 1)
+    ok = jnp.all(ok3, axis=1, keepdims=True) & (m != 0.0)  # (B, 1)
 
     lin = i3[:, 0:1] + gx * (i3[:, 1:2] + gy * i3[:, 2:3])
     lin = jnp.where(ok, lin, -1)
@@ -665,7 +665,7 @@ def _acc_kernel_v4(
     # valid-point count rides out of the kernel: an XLA-side reduce over
     # the (N, 1) f32 mask in its pinned kernel-operand layout uses 1 of
     # 128 lanes (~72 us/frame measured) — in here it is one block reduce
-    blk = jnp.sum((msk_ref[...] > 0.0).astype(jnp.int32))
+    blk = jnp.sum((msk_ref[...] != 0.0).astype(jnp.int32))
 
     @pl.when(b == 0)
     def _():
@@ -698,7 +698,7 @@ def _acc_kernel_v4_stacked(
         block=block, gx=gx, gy=gy, gz=gz, w1=w1, inv_xy=inv_xy, inv_z=inv_z,
         leaf_xy=leaf_xy, leaf_z=leaf_z, bx=bx, by=by, bz=bz, kx=kx, kz=kz,
     )
-    blk = jnp.sum((msk_ref[0] > 0.0).astype(jnp.int32))
+    blk = jnp.sum((msk_ref[0] != 0.0).astype(jnp.int32))
 
     @pl.when(b == 0)
     def _():
@@ -757,7 +757,7 @@ def _acc_v4_body(
     (frac_x, frac_y, frac_z, count) instead of 7.  Identical structure —
     factored 128*u+v one-hots, int8 MXU products, i32 accumulation — but the
     cell-relative frac rides as ONE int8 digit at the per-leaf shift from
-    `_v4_shifts`, quantizing each coordinate to 2^-(k+1) (<= leaf/504).
+    `_v4_shifts`, quantizing each coordinate to 2^-(k+1) (<= leaf/252).
     Sums remain bit-deterministic integers; the MXU stream count (the
     dominant in-kernel cost, ~53 us/channel at bench shapes measured from
     xplane traces) drops from 7 to 4."""
@@ -773,7 +773,7 @@ def _acc_v4_body(
     ).astype(i32)
     i3 = jnp.floor(p * inv3).astype(i32) - b3         # (B, 3)
     ok3 = (i3 >= 0) & (i3 < g3) & (p == p)            # NaN coords drop here
-    ok = jnp.all(ok3, axis=1, keepdims=True) & (m > 0.0)  # (B, 1)
+    ok = jnp.all(ok3, axis=1, keepdims=True) & (m != 0.0)  # (B, 1)
 
     lin = i3[:, 0:1] + gx * (i3[:, 1:2] + gy * i3[:, 2:3])
     lin = jnp.where(ok, lin, -1)

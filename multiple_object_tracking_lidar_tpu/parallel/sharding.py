@@ -68,7 +68,14 @@ class ShardedTracker:
         # shard_map+vmap (its ShapeDtypeStruct outputs carry no VMA and the
         # batcher rejects its 1-D scalar outputs), so the fleet path pins
         # the jnp associator — decisions are bit-identical by construction
-        # (tests/test_assign_pallas.py).
+        # (tests/test_assign_pallas.py).  An EXPLICIT 'pallas' request
+        # cannot be honored here and must not silently degrade (same rule
+        # as grid_cc='pallas' in the pipeline, ADVICE r2).
+        if self.tracker.config.assoc_backend == "pallas":
+            raise ValueError(
+                "assoc_backend='pallas' cannot run under shard_map "
+                "(ShardedTracker); use 'auto' or 'jnp'"
+            )
         cfg = dataclasses.replace(
             self.tracker.config, assoc_cond_branch=False, assoc_backend="jnp"
         )

@@ -205,27 +205,41 @@ class Tracker:
                 stacked_acc = _accumulate_pallas_v3_stacked
             else:
                 stacked_acc = None
-            hoist_acc = (
-                stacked_acc is not None
-                and _pick_block(cfg.caps.n_max_points) is not None
-            )
+            hoist_acc = stacked_acc is not None
+
+        def multi_scan(state, frames, env_a, table_a):
+            def body(s, fr):
+                return _step_impl(
+                    s, Frame(*fr), env_a, table_a, config=cfg, gains_xy=gains
+                )
+
+            return jax.lax.scan(body, state, tuple(frames))
 
         if hoist_acc:
 
             def multi(state, frames, env_a, table_a):
+                # block from the ACTUAL stacked N (a trace-time constant),
+                # not caps.n_max_points: a caller may stack fewer points
+                # than the configured capacity, and a capacity-derived
+                # block would then under-iterate the kernel grid and
+                # silently drop points.  No block divides N -> per-frame
+                # scan (its own accumulate call handles any N).
+                block = _pick_block(frames.points.shape[1])
+                if block is None:
+                    return multi_scan(state, frames, env_a, table_a)
                 # mask may arrive (S, N) bool or pre-staged (S, N, 1) f32
                 # (bench.stage_stacked pins the latter's layout so the
-                # kernel consumes the parameter with zero relayout copies)
-                # both stacked kernels count valid points in SMEM for
-                # free; an XLA reduce over the pinned-layout mask uses 1
-                # of 128 lanes (~72 us/frame, trace-measured)
+                # kernel consumes the parameter with zero relayout copies).
+                # Both stacked kernels count valid points in SMEM for free;
+                # an XLA reduce over the pinned-layout mask uses 1 of 128
+                # lanes (~72 us/frame, trace-measured)
                 accs, n_pts = stacked_acc(
                     frames.points,
                     frames.mask,
                     cfg.scene,
                     leaf,
                     leaf_z,
-                    _pick_block(cfg.caps.n_max_points),
+                    block,
                 )
 
                 def body(s, xs):
@@ -238,14 +252,7 @@ class Tracker:
                 return jax.lax.scan(body, state, (accs, frames.t, n_pts))
 
         else:
-
-            def multi(state, frames, env_a, table_a):
-                def body(s, fr):
-                    return _step_impl(
-                        s, Frame(*fr), env_a, table_a, config=cfg, gains_xy=gains
-                    )
-
-                return jax.lax.scan(body, state, tuple(frames))
+            multi = multi_scan
 
         multi_jit = jax.jit(multi, donate_argnums=(0,) if donate_state else ())
         return lambda state, frames: multi_jit(state, frames, env_dev, table_dev)

@@ -61,7 +61,10 @@ def main() -> None:
         return jax.jit(run)
 
     variants = {}
-    for block in (2048, 4096, 8192):
+    # NB: the wrappers clamp block to <= 2048 (scoped-VMEM limit with the
+    # in-kernel finalize + scratch accumulator), so larger values would
+    # silently time the same program
+    for block in (512, 1024, 2048):
         if n % block:
             continue
         variants[f"v3-exact b{block}"] = lambda fr, b=block: vg._accumulate_pallas_v3(

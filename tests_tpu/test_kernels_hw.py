@@ -375,3 +375,39 @@ def test_pipelined_dispatch_hw(rng):
     s2, o2 = multi(tracker.init_state(), frames)
     np.testing.assert_array_equal(np.asarray(o1.obj_id), np.asarray(o2.obj_id))
     np.testing.assert_array_equal(np.asarray(o1.pos), np.asarray(o2.pos))
+
+
+def test_centroid_v2_kernel_hw(rng):
+    """The predicated pair-stats kernel + shared jnp tail (the grid path's
+    default) == the jnp table path ON HARDWARE.  Pins the TPU-only bf16
+    DEFAULT-precision hazard: the one-hot extraction dots must run at
+    HIGHEST precision or pi/pj/pk come back bf16-rounded (~1e-2 absolute at
+    scene coordinates), breaking value-equality skips and G == 0."""
+    from multiple_object_tracking_lidar_tpu.ops.centroid import (
+        circumcenter_features_table,
+    )
+    from multiple_object_tracking_lidar_tpu.ops.centroid_pallas import (
+        circumcenter_features_table_pallas_v2,
+    )
+
+    cc, p = 32, 384
+    mpts = np.zeros((cc, p, 3), np.float32)
+    mm = np.zeros((cc, p), bool)
+    for c in range(6):
+        n = int(rng.integers(30, 300))
+        mpts[c, :n] = np.round(rng.normal(0, 1, (n, 3)) * 10) / 10
+        mm[c, :n] = True
+    # collinear cluster: exercises the G == 0 fallback on-device
+    for k in range(5):
+        mpts[6, k] = [0.1 * k, 0.2 * k, 0.0]
+    mm[6, :5] = True
+    ref = circumcenter_features_table(
+        jnp.asarray(mpts), jnp.asarray(mm), jnp.float32(0.3)
+    )
+    got = circumcenter_features_table_pallas_v2(
+        jnp.asarray(mpts), jnp.asarray(mm), jnp.float32(0.3)
+    )
+    ok = mm.any(axis=1)
+    np.testing.assert_allclose(
+        np.asarray(got)[ok], np.asarray(ref)[ok], rtol=0, atol=1e-5
+    )
