@@ -924,3 +924,36 @@ def test_stacked_accumulator_v4_bit_identical(rng):
             block=512, interpret=True,
         )
         np.testing.assert_array_equal(np.asarray(got[k]), np.asarray(ref))
+
+
+def test_accumulator_negative_mask_semantics(rng):
+    """Docstrings promise "nonzero = keep": a mask of -1.0 keeps a point in
+    the kernels (interpret) exactly like the jnp path (review r3: kernels
+    used to test mask > 0 and silently dropped negative-valued masks)."""
+    from multiple_object_tracking_lidar_tpu.ops.voxel_grid import (
+        _accumulate_pallas_v3,
+        _accumulate_pallas_v4,
+        voxel_accumulate_onehot_cm,
+    )
+
+    n = 512
+    r = np.random.default_rng(47)
+    pts = np.stack(
+        [r.uniform(-1.5, 1.5, n), r.uniform(-0.5, 4.5, n), r.uniform(0.2, 1.8, n)],
+        axis=1,
+    ).astype(np.float32)
+    mask = np.where(r.random(n) < 0.5, -1.0, 0.0).astype(np.float32)
+    ref = voxel_accumulate_onehot_cm(
+        jnp.asarray(pts), jnp.asarray(mask), SCENE, LEAF, LEAF_Z, use_pallas=False
+    )
+    got3, n3 = _accumulate_pallas_v3(
+        jnp.asarray(pts), jnp.asarray(mask), SCENE, LEAF, LEAF_Z,
+        block=512, interpret=True,
+    )
+    got4, n4 = _accumulate_pallas_v4(
+        jnp.asarray(pts), jnp.asarray(mask), SCENE, LEAF, LEAF_Z,
+        block=512, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(got3[3]), np.asarray(ref[3]))
+    np.testing.assert_array_equal(np.asarray(got4[3]), np.asarray(ref[3]))
+    assert int(n3) == int((mask != 0).sum()) == int(n4)

@@ -411,3 +411,55 @@ def test_centroid_v2_kernel_hw(rng):
     np.testing.assert_allclose(
         np.asarray(got)[ok], np.asarray(ref)[ok], rtol=0, atol=1e-5
     )
+
+
+def test_multi_falls_back_on_undividable_n_hw(rng):
+    """bind_env_multi with an N no accumulator block divides falls back to
+    the per-frame scan instead of under-iterating the stacked kernel grid
+    (review r3: a capacity-derived block could silently drop points)."""
+    import os
+
+    from multiple_object_tracking_lidar_tpu.config import (
+        Capacities,
+        SceneBounds,
+        TrackerConfig,
+    )
+    from multiple_object_tracking_lidar_tpu.ops.static_mask import build_static_mask
+    from multiple_object_tracking_lidar_tpu.tracker.pipeline import Tracker
+    from multiple_object_tracking_lidar_tpu.tracker.state import Frame
+    from multiple_object_tracking_lidar_tpu.utils.pgm import load_map_yaml
+
+    ymap = os.path.join(os.path.dirname(__file__), "..", "assets", "sim_map.yaml")
+    grid = load_map_yaml(ymap)
+    cfg = TrackerConfig(
+        voxel_leaf_size=0.1,
+        data_length=10,
+        cluster_backend="grid",
+        voxel_mode="onehot",
+        scene=SceneBounds(
+            x_min=-2.6, x_max=2.6, y_min=-1.6, y_max=9.6, z_min=0.0, z_max=2.0
+        ),
+        caps=Capacities(
+            n_max_points=2048, m_max_voxels=512, m_max_dynamic=256,
+            c_max_clusters=16, p_max_cluster=64, k_max_tracks=16,
+        ),
+    )
+    env = build_static_mask(grid, cfg.static_tolarance, cfg.occupied_threshold)
+    tracker = Tracker(cfg)
+
+    s, n = 3, 1500  # no block divides 1500
+    pts = np.asarray(rng.normal([0.5, 2.0, 0.5], 0.2, (s, n, 3)), np.float32)
+    frames = Frame(
+        points=jnp.asarray(pts),
+        mask=jnp.ones((s, n), bool),
+        t=jnp.arange(s, dtype=jnp.float32) * 0.1 + 0.1,
+    )
+    multi = tracker.bind_env_multi(env, donate_state=False)
+    step1 = tracker.bind_env(env, donate_state=False)
+    sm, om = multi(tracker.init_state(), frames)
+    s1 = tracker.init_state()
+    for k in range(s):
+        s1, o1 = step1(s1, Frame(frames.points[k], frames.mask[k], frames.t[k]))
+    assert int(om.n_points[0]) == n  # every point counted, none dropped
+    np.testing.assert_array_equal(np.asarray(om.obj_id[-1]), np.asarray(o1.obj_id))
+    np.testing.assert_array_equal(np.asarray(om.pos[-1]), np.asarray(o1.pos))
