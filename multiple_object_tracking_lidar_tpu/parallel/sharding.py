@@ -21,6 +21,16 @@ designed TPU-first:
 Both axes compose: mesh ("stream", "space"), points (B, N, 3) sharded on
 (stream, space).  Used by __graft_entry__.dryrun_multichip and validated on a
 CPU-emulated 8-device mesh in tests (SURVEY §4).
+
+SINGLE-chip multi-stream serving should NOT use this class: the Pallas
+kernels cannot lower under shard_map+vmap, so the fleet program runs the
+kernel-less jnp paths (~300-420 aggregate clouds/s at bench shapes).  Host
+multiplexing — one `Tracker.bind_env*` step, per-stream state pytrees,
+round-robin dispatch — preserves the full kernel-path throughput (~1795
+aggregate at B=4 measured; docs/PERFORMANCE.md "Serving shape", incl. the
+two-warm-calls-per-chain rule).  ShardedTracker is for MULTI-chip
+scale-out, where each device owns its streams and the only communication
+is the voxel-grid psum.
 """
 
 from __future__ import annotations
