@@ -216,3 +216,59 @@ def test_online_learning_param_fix_false(fixture_map):
         lp, nll = learning_step(lp, y, mask, cfg.dt_gp)
         nlls.append(float(nll))
     assert all(b <= a + 1e-5 for a, b in zip(nlls, nlls[1:]))
+
+
+def test_multiplexed_tracker_streams_independent(fixture_map):
+    """MultiplexedTracker == N independent single-stream trackers, stream by
+    stream (shared compiled step, per-stream state pytrees); warmup frames
+    are semantically no-ops (empty mask -> no state change)."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from multiple_object_tracking_lidar_tpu.config import Capacities, SceneBounds, TrackerConfig
+    from multiple_object_tracking_lidar_tpu.ops.static_mask import build_static_mask
+    from multiple_object_tracking_lidar_tpu.runtime.fleet import MultiplexedTracker
+    from multiple_object_tracking_lidar_tpu.tracker.pipeline import Tracker
+    from multiple_object_tracking_lidar_tpu.tracker.state import Frame
+
+    cfg = TrackerConfig(
+        voxel_leaf_size=0.1,
+        data_length=8,
+        scene=SceneBounds(
+            x_min=-2.6, x_max=2.6, y_min=-1.6, y_max=9.6, z_min=0.0, z_max=2.0
+        ),
+        caps=Capacities(
+            n_max_points=512, m_max_voxels=256, m_max_dynamic=128,
+            c_max_clusters=8, p_max_cluster=32, k_max_tracks=8,
+        ),
+    )
+    env = build_static_mask(fixture_map, cfg.static_tolarance, cfg.occupied_threshold)
+    tracker = Tracker(cfg)
+    mux = MultiplexedTracker(tracker, env, n_streams=2)
+
+    r = np.random.default_rng(7)
+    n = cfg.caps.n_max_points
+
+    def mk_frame(center, k):
+        pts = r.normal(center, 0.15, (n, 3)).astype(np.float32)
+        return Frame(jnp.asarray(pts), jnp.ones(n, bool), jnp.float32(0.1 * (k + 1)))
+
+    # reference: independent trackers, one per stream
+    ref_step = tracker.bind_env(env, donate_state=False)
+    ref_states = [tracker.init_state(), tracker.init_state()]
+    frames = {0: [mk_frame([0.5, 2.0, 0.5], k) for k in range(4)],
+              1: [mk_frame([-0.5, 5.0, 0.5], k) for k in range(4)]}
+    for k in range(4):
+        for sid in (0, 1):
+            out_mux = mux.step(sid, frames[sid][k])
+            ref_states[sid], out_ref = ref_step(ref_states[sid], frames[sid][k])
+            np.testing.assert_array_equal(
+                np.asarray(out_mux.obj_id), np.asarray(out_ref.obj_id)
+            )
+            np.testing.assert_allclose(
+                np.asarray(out_mux.pos), np.asarray(out_ref.pos), rtol=0, atol=0
+            )
+    mux.reset_stream(0)
+    out = mux.step(0, frames[0][0])
+    assert not bool(out.publish)  # fresh stream: first frame registers only
