@@ -317,6 +317,12 @@ def main() -> None:
                 "unit": "clouds/s",
                 "vs_baseline": round(multi_cps / 1000.0, 4),
                 "single_frame_clouds_per_sec": round(single_cps, 2),
+                # accumulator precision mode of THIS measurement: "fast" =
+                # single int8 digit/axis (quantization <= leaf/252, an order
+                # of magnitude under LiDAR noise); the library default
+                # "exact" measures ~1415 on this workload
+                # (docs/PERFORMANCE.md round 3)
+                "voxel_quant": cfg.voxel_quant,
                 **stats,
                 "dense_scene": {
                     "clouds_per_sec": round(dense_cps, 2),
