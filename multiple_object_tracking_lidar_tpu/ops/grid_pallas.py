@@ -42,6 +42,17 @@ from multiple_object_tracking_lidar_tpu.ops.cluster_grid import _stencil_offsets
 
 _LANES = 128
 
+# The kernel keeps the whole grid VMEM-resident: the measured scoped-VMEM
+# footprint is ~410 bytes/cell (label + centroid + table + adjacency
+# bitplanes + roll temporaries; 28 MB at 71.7k cells vs the 16 MB limit).
+# Above this bound the auto path falls back to the jnp stencil CC.
+MAX_KERNEL_CELLS = 32768
+
+
+def fused_cc_fits(n_cells: int) -> bool:
+    "True iff the fused kernel's whole-grid VMEM residency fits."
+    return n_cells <= MAX_KERNEL_CELLS
+
 
 def _flat_roll(a, s, rows):
     """out[flat] = a[(flat - s) mod (rows*128)] on a (rows, 128) layout."""

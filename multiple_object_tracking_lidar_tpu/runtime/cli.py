@@ -32,8 +32,21 @@ def cmd_run(args) -> int:
     from multiple_object_tracking_lidar_tpu.utils.pgm import load_map_yaml
 
     cfg = _load_cfg(args)
-    node = TrackerNode(cfg)
     grid = load_map_yaml(args.map)
+    if getattr(args, "backend", "default") == "grid":
+        # kernel path: dense-grid perception with the scene bounds derived
+        # from the map's extent (grid-mode cost scales with the cell count)
+        from multiple_object_tracking_lidar_tpu.config import SceneBounds
+
+        cfg = cfg.replace(
+            voxel_mode="onehot",
+            cluster_backend="grid",
+            scene=SceneBounds.from_map(
+                grid.info.width, grid.info.height, grid.info.resolution,
+                grid.info.origin_x, grid.info.origin_y,
+            ),
+        )
+    node = TrackerNode(cfg)
     node.on_map(grid)
 
     ckpt = getattr(args, "checkpoint", None)
@@ -142,8 +155,21 @@ def cmd_tune(args) -> int:
     from multiple_object_tracking_lidar_tpu.utils.pgm import load_map_yaml
 
     cfg = _load_cfg(args)
-    node = TrackerNode(cfg)
     grid = load_map_yaml(args.map)
+    if getattr(args, "backend", "default") == "grid":
+        # kernel path: dense-grid perception with the scene bounds derived
+        # from the map's extent (grid-mode cost scales with the cell count)
+        from multiple_object_tracking_lidar_tpu.config import SceneBounds
+
+        cfg = cfg.replace(
+            voxel_mode="onehot",
+            cluster_backend="grid",
+            scene=SceneBounds.from_map(
+                grid.info.width, grid.info.height, grid.info.resolution,
+                grid.info.origin_x, grid.info.origin_y,
+            ),
+        )
+    node = TrackerNode(cfg)
     node.on_map(grid)
     sc = Scenario(
         grid=grid,
@@ -216,6 +242,13 @@ def main(argv=None) -> int:
     pr.add_argument("--bag", help="replay frames from an .npz bag instead of synthesizing")
     pr.add_argument("--record-bag", dest="record_bag", help="record the frames to an .npz bag")
     pr.add_argument("--svg", help="write track trajectories to an SVG file")
+    pr.add_argument(
+        "--backend",
+        choices=["default", "grid"],
+        default="default",
+        help="'grid' switches to the dense-grid kernel perception path "
+        "(voxel_mode=onehot, cluster_backend=grid, scene from the map)",
+    )
     pr.add_argument(
         "--checkpoint",
         help="resume TrackerState from this .npz if it exists; always save "

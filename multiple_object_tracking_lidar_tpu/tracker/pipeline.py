@@ -417,21 +417,34 @@ def _perceive_from_dense_acc(
             env, config.scene, config.voxel_leaf_size, dims[0], dims[1], dims[2]
         )
 
+    from multiple_object_tracking_lidar_tpu.ops.grid_pallas import (
+        MAX_KERNEL_CELLS,
+        fused_cc_fits,
+    )
+
+    n_cells = dims[0] * dims[1] * dims[2]
     use_kernel = (
         table is not None
         and dtype == jnp.float32
+        and fused_cc_fits(n_cells)
         and (
             config.grid_cc == "pallas"
             or (config.grid_cc == "auto" and jax.default_backend() == "tpu")
         )
     )
-    if config.grid_cc == "pallas" and (table is None or dtype != jnp.float32):
+    if config.grid_cc == "pallas" and (
+        table is None or dtype != jnp.float32 or not fused_cc_fits(n_cells)
+    ):
         # an explicit kernel request that can't be honored (env is a tracer
-        # so no host-precomputed drop-bit table, or non-f32 dtype) must not
+        # so no host-precomputed drop-bit table, non-f32 dtype, or a grid
+        # too large for the kernel's whole-grid VMEM residency) must not
         # silently degrade (ADVICE r2)
         raise ValueError(
-            "grid_cc='pallas' needs a concrete map (per-cell static table) "
-            "and dtype=float32; use grid_cc='auto' to allow the jnp fallback"
+            "grid_cc='pallas' needs a concrete map (per-cell static table), "
+            f"dtype=float32, and <= {MAX_KERNEL_CELLS} grid cells (got "
+            f"{n_cells}: the kernel keeps the whole grid VMEM-resident, "
+            "~410 B/cell vs the 16 MB scoped limit); use a coarser leaf or "
+            "grid_cc='auto' for the jnp fallback"
         )
     if use_kernel:
         # fused Pallas kernel: finalize + drop-bit static mask + CC with the
