@@ -177,19 +177,37 @@ def connected_components_grid(
 
 
 def _excl_cumsum_2level(A: jnp.ndarray, gx: int) -> jnp.ndarray:
-    """Exclusive cumsum of (n, k) along axis 0 via a two-level scan:
+    """Exclusive cumsum of (n, k) along axis 0 via a two-level split:
     within gx-sized blocks + a block-prefix pass.  The flat log-shift
     cumsum over (n, k) was the single most expensive fusion in the step
-    trace (322 us at n=11000, k=301); two-level cuts the pass count from
-    log2(n) to log2(gx) + log2(n/gx) over much smaller arrays (~30 us).
-    Values are small integer counts in f32 — every sum is exact."""
+    trace (322 us at n=11000, k=301); two-level cuts it to ~30 us, and the
+    within-block level now runs as ONE batched strictly-lower-triangular
+    MXU matmul instead of a log2(gx)-deep shift-add tree — the tree's ~13
+    slice/pad passes over the (n/gx, gx, k) tensor were still the largest
+    family in the residual small-op tail (~30 us/frame, round-3 trace).
+    Exactness: f32 inputs here are 0/1 one-hot indicators, the triangular
+    factor is 0/1 (both bf16-exact), and within-block sums are <= gx with
+    f32 accumulation — every sum is exact.  The cross-block prefix carries
+    values up to n, so it keeps the log-depth f32 scan (an f32 matmul
+    would need HIGHEST precision for the same cost)."""
     n, k = A.shape
     b = n // gx
     Ar = A.reshape(b, gx, k)
-    # associative_scan pins the log-depth shift-add lowering: XLA lowers
-    # jnp.cumsum inside large fusions to an O(axis) reduce_window (81 us
-    # measured at these shapes vs ~20 us for the explicit log-depth form)
-    within = jax.lax.associative_scan(jnp.add, Ar, axis=1) - Ar
+    if A.dtype == jnp.float32:
+        lt = jnp.broadcast_to(
+            jnp.tril(jnp.ones((gx, gx), jnp.bfloat16), -1), (b, gx, gx)
+        )
+        within = jax.lax.dot_general(
+            lt,
+            Ar.astype(jnp.bfloat16),
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )                                                  # (b, gx, k)
+    else:
+        # f64 (CPU oracle-parity mode): keep the scan — associative_scan
+        # pins the log-depth lowering (jnp.cumsum inside large fusions
+        # lowers to an O(axis) reduce_window, 81 us measured)
+        within = jax.lax.associative_scan(jnp.add, Ar, axis=1) - Ar
     blocks = Ar.sum(axis=1)
     prefix = jax.lax.associative_scan(jnp.add, blocks, axis=0) - blocks
     return (within + prefix[:, None, :]).reshape(n, k)
