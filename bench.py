@@ -320,7 +320,7 @@ def main() -> None:
                 # accumulator precision mode of THIS measurement: "fast" =
                 # single int8 digit/axis (quantization <= leaf/252, an order
                 # of magnitude under LiDAR noise); the library default
-                # "exact" measures ~1415 on this workload
+                # "exact" measures ~1517 on this workload
                 # (docs/PERFORMANCE.md round 3)
                 "voxel_quant": cfg.voxel_quant,
                 **stats,
