@@ -193,21 +193,17 @@ def _excl_cumsum_2level(A: jnp.ndarray, gx: int) -> jnp.ndarray:
     n, k = A.shape
     b = n // gx
     Ar = A.reshape(b, gx, k)
-    if A.dtype == jnp.float32:
-        lt = jnp.broadcast_to(
-            jnp.tril(jnp.ones((gx, gx), jnp.bfloat16), -1), (b, gx, gx)
-        )
-        within = jax.lax.dot_general(
-            lt,
-            Ar.astype(jnp.bfloat16),
-            (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )                                                  # (b, gx, k)
-    else:
-        # f64 (CPU oracle-parity mode): keep the scan — associative_scan
-        # pins the log-depth lowering (jnp.cumsum inside large fusions
-        # lowers to an O(axis) reduce_window, 81 us measured)
-        within = jax.lax.associative_scan(jnp.add, Ar, axis=1) - Ar
+    # contract: A is an f32 0/1 one-hot indicator (both call sites cast
+    # explicitly, including in f64 oracle mode) — bf16 operands are exact
+    lt = jnp.broadcast_to(
+        jnp.tril(jnp.ones((gx, gx), jnp.bfloat16), -1), (b, gx, gx)
+    )
+    within = jax.lax.dot_general(
+        lt,
+        Ar.astype(jnp.bfloat16),
+        (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )                                                      # (b, gx, k)
     blocks = Ar.sum(axis=1)
     prefix = jax.lax.associative_scan(jnp.add, blocks, axis=0) - blocks
     return (within + prefix[:, None, :]).reshape(n, k)

@@ -24,6 +24,24 @@ def _load_cfg(args):
     return cfg
 
 
+def _apply_backend(cfg, grid, backend: str):
+    """backend='grid' switches to the dense-grid kernel perception path with
+    the scene bounds derived from the map's extent (grid-mode cost scales
+    with the cell count)."""
+    if backend != "grid":
+        return cfg
+    from multiple_object_tracking_lidar_tpu.config import SceneBounds
+
+    return cfg.replace(
+        voxel_mode="onehot",
+        cluster_backend="grid",
+        scene=SceneBounds.from_map(
+            grid.info.width, grid.info.height, grid.info.resolution,
+            grid.info.origin_x, grid.info.origin_y,
+        ),
+    )
+
+
 def cmd_run(args) -> int:
     import numpy as np
 
@@ -33,19 +51,7 @@ def cmd_run(args) -> int:
 
     cfg = _load_cfg(args)
     grid = load_map_yaml(args.map)
-    if getattr(args, "backend", "default") == "grid":
-        # kernel path: dense-grid perception with the scene bounds derived
-        # from the map's extent (grid-mode cost scales with the cell count)
-        from multiple_object_tracking_lidar_tpu.config import SceneBounds
-
-        cfg = cfg.replace(
-            voxel_mode="onehot",
-            cluster_backend="grid",
-            scene=SceneBounds.from_map(
-                grid.info.width, grid.info.height, grid.info.resolution,
-                grid.info.origin_x, grid.info.origin_y,
-            ),
-        )
+    cfg = _apply_backend(cfg, grid, getattr(args, "backend", "default"))
     node = TrackerNode(cfg)
     node.on_map(grid)
 
@@ -156,19 +162,7 @@ def cmd_tune(args) -> int:
 
     cfg = _load_cfg(args)
     grid = load_map_yaml(args.map)
-    if getattr(args, "backend", "default") == "grid":
-        # kernel path: dense-grid perception with the scene bounds derived
-        # from the map's extent (grid-mode cost scales with the cell count)
-        from multiple_object_tracking_lidar_tpu.config import SceneBounds
-
-        cfg = cfg.replace(
-            voxel_mode="onehot",
-            cluster_backend="grid",
-            scene=SceneBounds.from_map(
-                grid.info.width, grid.info.height, grid.info.resolution,
-                grid.info.origin_x, grid.info.origin_y,
-            ),
-        )
+    cfg = _apply_backend(cfg, grid, getattr(args, "backend", "default"))
     node = TrackerNode(cfg)
     node.on_map(grid)
     sc = Scenario(
@@ -261,6 +255,10 @@ def main(argv=None) -> int:
     )
     pt.add_argument("--map", required=True)
     pt.add_argument("--config", help="config file")
+    pt.add_argument(
+        "--backend", choices=["default", "grid"], default="default",
+        help="'grid' tunes on the dense-grid kernel perception path",
+    )
     pt.add_argument("--frames", type=int, default=60)
     pt.add_argument("--steps", type=int, default=30)
     pt.add_argument("--data-length", type=int, dest="data_length")
