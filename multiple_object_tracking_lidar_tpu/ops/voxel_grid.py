@@ -213,6 +213,19 @@ def _pick_block(n: int) -> int | None:
     return None
 
 
+def _cap_block(block: int, n: int) -> int:
+    """Cap the point block at the scoped-VMEM limit (2048) and fail loudly if
+    the capped block no longer tiles N: a silently under-iterated grid
+    (``grid = n // block``) would drop tail points (ADVICE r3)."""
+    block = min(block, 2048)
+    if n % block != 0:
+        raise ValueError(
+            f"point block {block} does not tile N={n} (after the 2048 "
+            "scoped-VMEM cap); choose a block that divides N — see _pick_block"
+        )
+    return block
+
+
 def _acc_kernel(ix_ref, iyz_ref, vals_ref, out_ref, *, block, gx, gyz, nch):
     """One grid step = one point block: build the (B, gyz)/(B, gx) one-hots
     in VMEM, take nch MXU products, accumulate into the resident output."""
@@ -592,7 +605,7 @@ def _accumulate_pallas_v3(
     the pinned-layout mask reduce is 1-of-128-lanes).  Block capped at 2048:
     the f32 finalize output + 7-channel i32 scratch exceed scoped VMEM at
     4096."""
-    block = min(block, 2048)
+    block = _cap_block(block, points.shape[0])
     gx, gy, gz = grid_shape(scene, leaf_xy, leaf_z)
     gyz = gy * gz
     n_cells = gx * gy * gz
@@ -825,7 +838,7 @@ def _accumulate_pallas_v4(
     compiles.  Block capped at 2048: with the f32 finalize output + i32
     scratch accumulator the 4096-point block exceeds the 16 MB scoped-VMEM
     limit (17.3 MB measured)."""
-    block = min(block, 2048)
+    block = _cap_block(block, points.shape[0])
     gx, gy, gz = grid_shape(scene, leaf_xy, leaf_z)
     n_cells = gx * gy * gz
     w1 = -(-n_cells // 128)
@@ -890,7 +903,8 @@ def _accumulate_pallas_v4_stacked(
     _accumulate_pallas_v4.  Consumed by bind_env_multi's hoisted-accumulate
     scan (the (S, N, 3) relayout is paid once per dispatch instead of ~90 us
     of slice+copy per scan iteration — docs/PERFORMANCE.md round 3)."""
-    block = min(block, 2048)  # cross-frame double buffering, see v3_stacked
+    block = _cap_block(block, points.shape[1])  # cross-frame double buffering,
+    #   see v3_stacked
     gx, gy, gz = grid_shape(scene, leaf_xy, leaf_z)
     n_cells = gx * gy * gz
     w1 = -(-n_cells // 128)
@@ -974,7 +988,7 @@ def _accumulate_pallas_v3_stacked(
     boundary too — block=4096 exceeds the 16 MB scoped-VMEM limit here
     (18.5 MB measured) even though the single-frame kernel fits; cap at
     2048."""
-    block = min(block, 2048)
+    block = _cap_block(block, points.shape[1])
     gx, gy, gz = grid_shape(scene, leaf_xy, leaf_z)
     n_cells = gx * gy * gz
     w1 = -(-n_cells // 128)

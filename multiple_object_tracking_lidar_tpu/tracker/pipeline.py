@@ -168,7 +168,9 @@ class Tracker:
             state, frame, gains, env_dev, table_dev
         )
 
-    def bind_env_multi(self, env: MapEnv, donate_state: bool = True):
+    def bind_env_multi(
+        self, env: MapEnv, donate_state: bool = True, hoist: str = "auto"
+    ):
         """Like bind_env, but processes a BATCH OF CONSECUTIVE FRAMES of one
         stream per dispatch via `lax.scan` — bit-identical to calling step()
         frame by frame (same sequential state chain), with per-dispatch host/
@@ -179,15 +181,30 @@ class Tracker:
         hoisted out of the scan into one stacked kernel call (per-frame
         results bit-identical — tests/test_grid.py): scanning the per-frame
         kernel instead pays ~90 us/frame of tiled->linear relayout copies on
-        the sliced (N, 3) operand (docs/PERFORMANCE.md round 3)."""
+        the sliced (N, 3) operand (docs/PERFORMANCE.md round 3).
+
+        ``hoist``: "auto" (hoisted body on TPU for the onehot+grid f32
+        config) | "on" (force the hoisted body — off-TPU the stacked kernel
+        runs in interpret mode, letting the CPU suite execute this exact
+        body; ADVICE r3) | "off" (always the per-frame scan)."""
         cfg, gains = self.config, self.gains_xy
         env_dev, table_dev = self._env_args(env)
 
-        hoist_acc = (
+        if hoist not in ("auto", "on", "off"):
+            raise ValueError(f"unknown hoist {hoist!r}")
+        kernel_cfg = (
             cfg.voxel_mode == "onehot"
             and cfg.cluster_backend == "grid"
             and jnp.dtype(cfg.dtype) == jnp.float32
-            and jax.default_backend() == "tpu"
+        )
+        if hoist == "on" and not kernel_cfg:
+            raise ValueError(
+                "hoist='on' needs voxel_mode='onehot', cluster_backend='grid',"
+                f" dtype=float32 (got {cfg.voxel_mode!r}/"
+                f"{cfg.cluster_backend!r}/{cfg.dtype!r})"
+            )
+        hoist_acc = kernel_cfg and (
+            hoist == "on" or (hoist == "auto" and jax.default_backend() == "tpu")
         )
 
         if hoist_acc:
@@ -240,6 +257,9 @@ class Tracker:
                     leaf,
                     leaf_z,
                     block,
+                    # hoist='on' runs this exact body on CPU (interpret-mode
+                    # kernel) so the CPU suite covers it (ADVICE r3)
+                    interpret=jax.default_backend() != "tpu",
                 )
 
                 def body(s, xs):

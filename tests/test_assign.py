@@ -165,3 +165,97 @@ def test_allow_match_false_registers_everything():
     )
     assert bool(r.det_new[0])
     assert int(r.det_id[0]) == 1
+
+
+def test_nonfinite_detection_matches_gather_formulation(monkeypatch):
+    """ADVICE r3: _onehot_take's 0*Inf row-poisoning blast radius must not
+    change OBSERVABLE behavior vs a true gather.  One non-finite detection
+    (a subnormal-G circumcenter overflow, cpp:787-809) flows through the
+    window shift/backfill path under both formulations; published outputs
+    must agree: identical finite values, identical non-finite PATTERN at
+    the published granularity (per published coordinate), and the NaN
+    watchdog condition fires identically."""
+    import functools
+
+    import multiple_object_tracking_lidar_tpu.ops.assign as assign_mod
+    from multiple_object_tracking_lidar_tpu.config import Capacities, TrackerConfig
+    from multiple_object_tracking_lidar_tpu.tracker.pipeline import (
+        Perception,
+        track_step,
+    )
+    from multiple_object_tracking_lidar_tpu.tracker.pipeline import Tracker
+
+    cfg = TrackerConfig(
+        voxel_leaf_size=0.1,
+        data_length=L,
+        dtype="float32",
+        caps=Capacities(
+            n_max_points=256, m_max_voxels=128, m_max_dynamic=64,
+            c_max_clusters=4, p_max_cluster=16, k_max_tracks=8,
+        ),
+    )
+    gains = Tracker.compute_gains(
+        cfg,
+        (cfg.logSigma2_x, cfg.logMagnSigma2_x, cfg.logLengthScale_x),
+        (cfg.logSigma2_y, cfg.logMagnSigma2_y, cfg.logLengthScale_y),
+    )[2]
+    step = functools.partial(track_step, config=cfg, gains_xy=gains)
+
+    def perception(rows, t):
+        d = np.zeros((4, 4), np.float32)
+        v = np.zeros(4, bool)
+        for i, r in enumerate(rows):
+            d[i, : len(r)] = r
+            v[i] = True
+        z = jnp.int32(0)
+        return Perception(
+            dets=jnp.asarray(d), det_valid=jnp.asarray(v), t=jnp.float32(t),
+            n_points=z, n_vox=z, n_dynamic=z, n_clusters=jnp.int32(len(rows)),
+            cc_saturated=z,
+        )
+
+    def run():
+        st = init_state(cfg.caps.k_max_tracks, L, jnp.float32)
+        outs = []
+        # frame 1 registers; frame 2 injects the non-finite detection onto
+        # the registered track; frame 3 publishes with the poisoned window
+        st, o = step(st, perception([(0.0, 0.0, 0.0, 0.1)], 0.1))
+        outs.append(o)
+        st, o = step(st, perception([(np.inf, np.nan, 0.0, 0.2)], 0.2))
+        outs.append(o)
+        st, o = step(st, perception([(0.05, 0.0, 0.0, 0.3)], 0.3))
+        outs.append(o)
+        return [jax.tree.map(np.asarray, o) for o in outs]
+
+    import jax
+
+    ours = run()
+
+    def gather_take(table, idx):
+        # out[k, i, :] = table[k, idx[k, i], :]
+        return jnp.take_along_axis(table, idx[..., None], axis=1)
+
+    monkeypatch.setattr(assign_mod, "_onehot_take", gather_take)
+    ref = run()
+
+    for o_a, o_b in zip(ours, ref):
+        # published validity/ids identical
+        np.testing.assert_array_equal(o_a.valid, o_b.valid)
+        np.testing.assert_array_equal(o_a.obj_id, o_b.obj_id)
+        for fa, fb in ((o_a.pos, o_b.pos), (o_a.vel, o_b.vel)):
+            fin_a, fin_b = np.isfinite(fa), np.isfinite(fb)
+            # the published non-finite pattern is identical (the watchdog
+            # keys on any non-finite in a published row)
+            np.testing.assert_array_equal(fin_a, fin_b)
+            np.testing.assert_allclose(
+                fa[fin_a & fin_b], fb[fin_a & fin_b], rtol=1e-6
+            )
+        # the NaN-watchdog condition (runtime/node.py): any published
+        # non-finite pos/vel — identical either way
+        bad_a = (~np.isfinite(o_a.pos[o_a.valid])).any() or (
+            ~np.isfinite(o_a.vel[o_a.valid])
+        ).any()
+        bad_b = (~np.isfinite(o_b.pos[o_b.valid])).any() or (
+            ~np.isfinite(o_b.vel[o_b.valid])
+        ).any()
+        assert bad_a == bad_b

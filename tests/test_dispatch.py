@@ -182,3 +182,57 @@ def test_pipeline_voxel_runs_mode_matches_dense(fixture_map):
         np.testing.assert_allclose(
             np.asarray(od.vel), np.asarray(orr.vel), rtol=1e-3, atol=1e-4
         )
+
+
+def test_hoisted_multi_body_matches_scan_on_cpu(fixture_map):
+    """ADVICE r3: the hoisted stacked-accumulate multi body was gated on
+    jax.default_backend() == 'tpu', so the CPU suite never executed it.
+    hoist='on' forces that exact body with interpret-mode kernels; its
+    tracking decisions must match the per-frame scan (hoist='off'), and its
+    detections must agree to the accumulator's documented quantization
+    (counts exact; coordinates <= leaf/252 per point => centroids well
+    within 1e-3 of the f32 path)."""
+    cfg = _cfg().replace(
+        voxel_mode="onehot",
+        cluster_backend="grid",
+        dtype="float32",
+        voxel_quant="fast",
+    )
+    tracker = Tracker(cfg)
+    env = build_static_mask(fixture_map, cfg.static_tolarance)
+    frames = _frames(cfg, fixture_map, 4)
+    stacked = Frame(
+        points=jnp.stack([f.points for f in frames]),
+        mask=jnp.stack([f.mask for f in frames]),
+        t=jnp.stack([f.t for f in frames]),
+    )
+
+    run_on = tracker.bind_env_multi(env, donate_state=False, hoist="on")
+    run_off = tracker.bind_env_multi(env, donate_state=False, hoist="off")
+    s_on, o_on = run_on(tracker.init_state(), stacked)
+    s_off, o_off = run_off(tracker.init_state(), stacked)
+    o_on = jax.tree.map(np.asarray, o_on)
+    o_off = jax.tree.map(np.asarray, o_off)
+
+    np.testing.assert_array_equal(o_on.n_clusters, o_off.n_clusters)
+    np.testing.assert_array_equal(o_on.valid, o_off.valid)
+    np.testing.assert_array_equal(o_on.obj_id, o_off.obj_id)
+    np.testing.assert_array_equal(o_on.new_track, o_off.new_track)
+    np.testing.assert_array_equal(o_on.n_points, o_off.n_points)
+    v = o_on.valid
+    np.testing.assert_allclose(o_on.pos[v], o_off.pos[v], atol=1e-3)
+    np.testing.assert_allclose(o_on.vel[v], o_off.vel[v], atol=1e-2)
+    # state chains stay aligned too
+    np.testing.assert_array_equal(
+        np.asarray(s_on.bank.alive), np.asarray(s_off.bank.alive)
+    )
+
+
+def test_hoist_on_rejects_non_kernel_config(fixture_map):
+    cfg = _cfg()  # default dense/jnp config cannot run the hoisted body
+    tracker = Tracker(cfg)
+    env = build_static_mask(fixture_map, cfg.static_tolarance)
+    import pytest
+
+    with pytest.raises(ValueError, match="hoist='on'"):
+        tracker.bind_env_multi(env, hoist="on")
