@@ -96,12 +96,6 @@ class Capacities:
                                     # iteration (cluster_backend="grid"):
                                     # sequential iterations cost ~10 us each
                                     # on TPU, so sweeps are batched per trip
-    max_dup_passes: int = 3         # UNUSED since r3 (kept for config
-                                    # compatibility): the duplicate-match
-                                    # GP replay is now an exact while_loop
-                                    # over the true multiplicity
-                                    # (tracker/pipeline.py), so no
-                                    # approximation threshold exists
 
 
 @dataclasses.dataclass(frozen=True)
@@ -165,16 +159,23 @@ class TrackerConfig:
                                          # per-cell static table applies, jnp
                                          # stencil otherwise) | "pallas" |
                                          # "jnp"
-    voxel_quant: str = "exact"           # onehot-accumulator coordinate
-                                         # precision: "exact" (2 int8 digits
-                                         # per axis, centroids match f32 to
-                                         # ~1e-6) | "fast" (1 digit: 4 MXU
-                                         # streams instead of 7, ~150 us less
-                                         # per frame; quantizes each point to
-                                         # <= leaf/252 — ~0.2 mm xy at the
-                                         # 0.1 m leaf, far below LiDAR noise).
-                                         # Both are bit-deterministic integer
-                                         # sums; non-TPU paths ignore this.
+    voxel_quant: str = "fast"            # onehot-accumulator coordinate
+                                         # precision.  DEFAULT "fast": one
+                                         # int8 digit per axis — 4 MXU streams
+                                         # instead of 7 (~1945 vs ~1517
+                                         # clouds/s at bench shapes); each
+                                         # point quantizes to <= leaf/252
+                                         # (~0.4 mm xy at the 0.1 m leaf — an
+                                         # order of magnitude below LiDAR
+                                         # range noise), counts stay exact
+                                         # integers.  "exact": 2 digits/axis,
+                                         # centroids match the f32 sum to
+                                         # ~1e-6 — opt in when sub-quantum
+                                         # centroid reproducibility vs the
+                                         # float path matters more than
+                                         # throughput.  Both modes are
+                                         # bit-deterministic integer sums;
+                                         # non-TPU paths ignore this.
     assoc_backend: str = "auto"          # greedy association engine: "auto"
                                          # (VMEM scan kernel on TPU when
                                          # K,D <= 128 and dtype=f32; jnp
