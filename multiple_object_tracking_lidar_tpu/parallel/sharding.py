@@ -5,32 +5,40 @@ parallelism note) — there is nothing to mirror, so the parallelism here is
 designed TPU-first:
 
 * **stream axis (dp)** — independent LiDAR streams (robots / sensors / bag
-  shards) are a leading batch dimension of everything: `vmap` makes one
-  tracker a fleet, and sharding that axis over the mesh scales linearly with
-  zero communication.  This is the production deployment shape: one chip
-  tracks many streams, a pod tracks many more.
+  shards) are a leading batch dimension of everything: sharding that axis
+  over the mesh scales linearly with zero communication.  This is the
+  production deployment shape: one chip tracks many streams, a pod tracks
+  many more.
 
 * **space axis (sp)** — one huge cloud's points are sharded across devices.
   Voxel accumulation is additive over points, so each device accumulates its
   point shard into the (small, dense) voxel grid and ONE `psum` over the
-  space axis reconstitutes the global grid (ops/voxel.voxel_accumulate);
-  the post-downsample remainder (clustering on <= m_max_dynamic points,
-  association, IHGP) is tiny and runs replicated.  Communication per frame =
-  one grid-sized all-reduce riding ICI.
+  space axis reconstitutes the global grid; the post-downsample remainder
+  (clustering on the dense cell grid, association, IHGP) is tiny and runs
+  replicated.  Communication per frame = one grid-sized all-reduce riding
+  ICI.
 
 Both axes compose: mesh ("stream", "space"), points (B, N, 3) sharded on
 (stream, space).  Used by __graft_entry__.dryrun_multichip and validated on a
 CPU-emulated 8-device mesh in tests (SURVEY §4).
 
-SINGLE-chip multi-stream serving should NOT use this class: the Pallas
-kernels cannot lower under shard_map+vmap, so the fleet program runs the
-kernel-less jnp paths (~300-420 aggregate clouds/s at bench shapes).  Host
-multiplexing — one `Tracker.bind_env*` step, per-stream state pytrees,
-round-robin dispatch — preserves the full kernel-path throughput (~1795
-aggregate at B=4 measured; docs/PERFORMANCE.md "Serving shape", incl. the
-two-warm-calls-per-chain rule).  ShardedTracker is for MULTI-chip
-scale-out, where each device owns its streams and the only communication
-is the voxel-grid psum.
+Two per-device program shapes (round 4 — VERDICT r3 #1):
+
+* **kernel fleet** (default when the config runs the onehot+grid kernel
+  pipeline): each device executes the UNVMAPPED kernel program — ONE stacked
+  Pallas accumulate over its local streams' points, then a `lax.scan` over
+  the local streams running the same fused-CC / predicated-circumcenter /
+  association kernels as the single-chip step.  `vmap` is never applied to a
+  `pallas_call` (the Mosaic batcher rejects their 1-D scalar outputs), so
+  the fleet program IS the single-chip kernel program per device; measured
+  within ~6% of the single-chip headline on one real chip
+  (docs/PERFORMANCE.md round 4 "Serving shape").  shard_map runs with
+  ``check_vma=False`` — pallas_call outputs carry no varying-manual-axes
+  type, so the r3 failure was the VMA checker, not the kernels.
+
+* **vmap fleet** (non-kernel configs): the r3 shape — `vmap` over local
+  streams of the jnp program.  Kernel-less by construction, kept for the
+  point-list backends.
 """
 
 from __future__ import annotations
@@ -66,32 +74,160 @@ def make_mesh(
 @dataclasses.dataclass
 class ShardedTracker:
     """Fleet tracking: a batch of independent streams over a device mesh,
-    optionally with per-stream point sharding over the space axis."""
+    optionally with per-stream point sharding over the space axis.
+
+    ``kernel_path``: "auto" (kernel fleet when the config runs the
+    onehot+grid pipeline in f32, vmap fleet otherwise) | "on" (require the
+    kernel fleet — raises if the config cannot run it) | "off" (always the
+    vmap fleet)."""
 
     tracker: Tracker
     mesh: Mesh
+    kernel_path: str = "auto"
 
     def __post_init__(self):
+        if self.kernel_path not in ("auto", "on", "off"):
+            raise ValueError(f"unknown kernel_path {self.kernel_path!r}")
+        cfg = self.tracker.config
+        kernel_ok = (
+            cfg.voxel_mode == "onehot"
+            and cfg.cluster_backend == "grid"
+            and jnp.dtype(cfg.dtype) == jnp.float32
+        )
+        if self.kernel_path == "on" and not kernel_ok:
+            raise ValueError(
+                "kernel_path='on' needs voxel_mode='onehot', "
+                "cluster_backend='grid', dtype=float32 (got "
+                f"{cfg.voxel_mode!r}/{cfg.cluster_backend!r}/{cfg.dtype!r})"
+            )
+        self._use_kernel_fleet = kernel_ok and self.kernel_path != "off"
+        if self._use_kernel_fleet:
+            self._build_kernel_fleet()
+        else:
+            self._build_vmap_fleet()
+
+    # ---- kernel fleet: per-device unvmapped kernel program -----------------
+    def _build_kernel_fleet(self):
+        from multiple_object_tracking_lidar_tpu.ops.voxel_grid import (
+            _accumulate_pallas_v3_stacked,
+            _accumulate_pallas_v4_stacked,
+            _pick_block,
+            _v3_leaf_ok,
+            voxel_accumulate_onehot_cm,
+        )
+        from multiple_object_tracking_lidar_tpu.tracker.pipeline import (
+            _perceive_from_dense_acc,
+            track_step,
+        )
+
+        # the decision scan stays conflict-exact without lax.cond (the
+        # branch-VMA reconciliation is what fails under shard_map, not the
+        # select-both form; results are identical by construction)
+        cfg = dataclasses.replace(self.tracker.config, assoc_cond_branch=False)
+        gains_xy = self.tracker.gains_xy
+        leaf, leaf_z = cfg.voxel_leaf_size, cfg.leaf_z
+        if cfg.voxel_quant == "fast":
+            stacked_acc = _accumulate_pallas_v4_stacked
+        elif _v3_leaf_ok(leaf, leaf_z):
+            stacked_acc = _accumulate_pallas_v3_stacked
+        else:
+            stacked_acc = None
+
+        def local_fn(bank_state, points, mask, t, env, table):
+            # points: (B_local, N_local, 3) — N sharded over "space".
+            # Shapes are concrete at trace time, so the stacked-kernel block
+            # choice happens here, per lowered shape.
+            interpret = jax.default_backend() != "tpu"
+            n_local = points.shape[1]
+            block = _pick_block(n_local) if stacked_acc is not None else None
+            ptsf = points.astype(jnp.float32)
+            if block is not None:
+                # ONE stacked kernel call accumulates every local stream's
+                # point shard (bit-identical per frame to the single-frame
+                # kernel — tests/test_grid.py)
+                accs, n_pts = stacked_acc(
+                    ptsf, mask, cfg.scene, leaf, leaf_z, block,
+                    interpret=interpret,
+                )
+            else:
+                # no block tiles N_local: per-stream accumulate inside the
+                # scan below (handled by passing accs=None sentinel is not
+                # jax-able, so accumulate here per stream, unvmapped)
+                accs_l, n_l = [], []
+                for s in range(points.shape[0]):
+                    a, n1 = voxel_accumulate_onehot_cm(
+                        ptsf[s], mask[s], cfg.scene, leaf, leaf_z,
+                        quant=cfg.voxel_quant, with_npts=True,
+                    )
+                    accs_l.append(a)
+                    n_l.append(n1)
+                accs = jnp.stack(accs_l)
+                n_pts = jnp.stack(n_l)
+            # reconstitute the global grid: accumulation is additive over
+            # the space-sharded points; integer digit sums psum exactly
+            accs = jax.lax.psum(accs, "space")
+            n_pts = jax.lax.psum(n_pts, "space")
+
+            def body(_, xs):
+                s, acc, t_b, npts = xs
+                # the UNVMAPPED kernel tail: fused finalize+static+CC,
+                # cluster table, predicated circumcenter, association —
+                # the exact single-chip program, once per local stream
+                p = _perceive_from_dense_acc(
+                    acc, t_b, npts, env, config=cfg, table=table
+                )
+                s2, out = track_step(s, p, config=cfg, gains_xy=gains_xy)
+                return (), (s2, out)
+
+            _, (new_state, outs) = jax.lax.scan(
+                body, (), (bank_state, accs, t, n_pts)
+            )
+            return new_state, outs
+
+        state_spec = P("stream")
+        self._step = jax.jit(
+            jax.shard_map(
+                local_fn,
+                mesh=self.mesh,
+                in_specs=(
+                    state_spec,
+                    P("stream", "space"),
+                    P("stream", "space"),
+                    P("stream"),
+                    P(),
+                    P(),
+                ),
+                out_specs=(state_spec, state_spec),
+                # pallas_call outputs carry no varying-manual-axes type; the
+                # program is manually collective-correct (one psum pair)
+                check_vma=False,
+            )
+        )
+
+    # ---- vmap fleet: the r3 kernel-less shape (point-list backends) --------
+    def _build_vmap_fleet(self):
         # lax.cond's branch-VMA reconciliation fails under shard_map in
         # current JAX; select-both mode is semantically identical.  The
-        # association Pallas kernel likewise does not lower under
-        # shard_map+vmap (its ShapeDtypeStruct outputs carry no VMA and the
-        # batcher rejects its 1-D scalar outputs), so the fleet path pins
+        # association Pallas kernel does not lower under shard_map+VMAP (the
+        # batcher rejects its 1-D scalar outputs), so this fleet shape pins
         # the jnp associator — decisions are bit-identical by construction
         # (tests/test_assign_pallas.py).  An EXPLICIT 'pallas' request
         # cannot be honored here and must not silently degrade (same rule
-        # as grid_cc='pallas' in the pipeline, ADVICE r2).
+        # as grid_cc='pallas' in the pipeline, ADVICE r2); use the kernel
+        # fleet (onehot+grid config) for per-device kernel execution.
         if self.tracker.config.assoc_backend == "pallas":
             raise ValueError(
-                "assoc_backend='pallas' cannot run under shard_map "
-                "(ShardedTracker); use 'auto' or 'jnp'"
+                "assoc_backend='pallas' cannot run under the vmap fleet "
+                "(ShardedTracker kernel_path='off'/non-grid config); use "
+                "'auto'/'jnp', or the onehot+grid config for the kernel fleet"
             )
         cfg = dataclasses.replace(
             self.tracker.config, assoc_cond_branch=False, assoc_backend="jnp"
         )
         gains_xy = self.tracker.gains_xy
 
-        def local_fn(bank_state, points, mask, t, env):
+        def local_fn(bank_state, points, mask, t, env, table):
+            del table  # the vmap fleet rebuilds static masks from env
             # points: (B_local, N_local, 3) — N sharded over "space"
             def one(state_b, pts_b, mask_b, t_b):
                 acc = voxel_accumulate(
@@ -114,7 +250,14 @@ class ShardedTracker:
             jax.shard_map(
                 local_fn,
                 mesh=self.mesh,
-                in_specs=(state_spec, P("stream", "space"), P("stream", "space"), P("stream"), P()),
+                in_specs=(
+                    state_spec,
+                    P("stream", "space"),
+                    P("stream", "space"),
+                    P("stream"),
+                    P(),
+                    P(),
+                ),
                 out_specs=(state_spec, state_spec),
             )
         )
@@ -128,7 +271,30 @@ class ShardedTracker:
         shard = NamedSharding(self.mesh, P("stream"))
         return jax.tree.map(lambda x: jax.device_put(x, shard), batched)
 
+    def _env_args(self, env: MapEnv):
+        table = self.tracker._env_table(env) if self._use_kernel_fleet else None
+        if self._use_kernel_fleet and table is None:
+            raise ValueError(
+                "kernel fleet needs a concrete map env (the per-cell static "
+                "table is host-precomputed); got a tracer/oversized window"
+            )
+        return env, table
+
+    def bind_env(self, env: MapEnv):
+        """Stage (env, per-cell table) on the mesh REPLICATED once and return
+        ``step(state, points, mask, t)`` — per-dispatch H2D of the map data
+        would otherwise dominate the fleet step (same rationale as
+        Tracker.bind_env)."""
+        env_h, table_h = self._env_args(env)
+        rep = NamedSharding(self.mesh, P())
+        env_dev = jax.device_put(env_h, rep)
+        table_dev = jax.device_put(table_h, rep) if table_h is not None else None
+        return lambda state, points, mask, t: self._step(
+            state, points, mask, t, env_dev, table_dev
+        )
+
     def step(self, state, points, mask, t, env: MapEnv):
         """points: (B, N, 3), mask: (B, N), t: (B,) — B % mesh.stream == 0,
         N % mesh.space == 0."""
-        return self._step(state, points, mask, t, env)
+        env_h, table_h = self._env_args(env)
+        return self._step(state, points, mask, t, env_h, table_h)

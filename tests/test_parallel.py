@@ -129,3 +129,129 @@ def test_giant_cloud_point_sharded_clustering_matches_single_device(fixture_map,
     np.testing.assert_allclose(
         bout.raw_centroid[0], out.raw_centroid, rtol=0, atol=1e-5
     )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
+def test_kernel_fleet_matches_single_device_kernel_step(fixture_map, rng):
+    """VERDICT r3 #1: the sharded program must take the KERNEL path.  The
+    kernel fleet (onehot+grid config, kernel_path='on') runs the stacked
+    Pallas accumulate + the fused-CC / predicated-circumcenter / association
+    kernels UNVMAPPED per device (interpret mode on this CPU mesh,
+    real Mosaic on TPU — grid_cc/assoc_backend='pallas' force the kernels:
+    if they could not lower under shard_map, this test would error rather
+    than silently degrade).  Two chained steps per stream must match the
+    single-device kernel step bit-exactly."""
+    from multiple_object_tracking_lidar_tpu.io.scenario import (
+        Scenario,
+        ScenarioObject,
+    )
+
+    cfg = _cfg().replace(
+        voxel_mode="onehot",
+        cluster_backend="grid",
+        grid_cc="pallas",
+        assoc_backend="pallas",
+        dtype="float32",
+    )
+    tracker = Tracker(cfg)
+    env = build_static_mask(fixture_map, cfg.static_tolarance, cfg.occupied_threshold)
+    mesh = make_mesh(4, 2)
+    st = ShardedTracker(tracker, mesh, kernel_path="on")
+    assert st._use_kernel_fleet
+
+    b, n = 8, cfg.caps.n_max_points
+    # per-stream scenarios with REAL objects so clusters/tracks exist
+    frames = []
+    for s in range(b):
+        sc = Scenario(
+            grid=fixture_map,
+            objects=[
+                ScenarioObject(0.0 + 0.1 * s, 1.0, 0.0, 0.4, points_per_frame=40),
+                ScenarioObject(0.9, 6.0, -0.3, 0.0, points_per_frame=40),
+            ],
+            static_points_per_frame=200,
+            seed=100 + s,
+        )
+        per_stream = []
+        for k in range(2):
+            pts, t = sc.frame_arrays(k)
+            buf = np.zeros((n, 3), np.float32)
+            buf[: len(pts)] = pts[:n]
+            msk = np.zeros(n, bool)
+            msk[: min(len(pts), n)] = True
+            per_stream.append((buf, msk, t))
+        frames.append(per_stream)
+
+    bstate = st.init_state(b)
+    bouts = []
+    for k in range(2):
+        points = jnp.asarray(np.stack([frames[s][k][0] for s in range(b)]))
+        mask = jnp.asarray(np.stack([frames[s][k][1] for s in range(b)]))
+        t = jnp.asarray(np.array([frames[s][k][2] for s in range(b)], np.float32))
+        bstate, bout = st.step(bstate, points, mask, t, env)
+        bouts.append(jax.tree.map(np.asarray, bout))
+
+    for s in range(b):
+        sngl = tracker.init_state()
+        for k in range(2):
+            buf, msk, t = frames[s][k]
+            sngl, out = tracker.step(
+                sngl, Frame(jnp.asarray(buf), jnp.asarray(msk), jnp.float32(t)), env
+            )
+            out = jax.tree.map(np.asarray, out)
+            assert int(bouts[k].n_clusters[s]) == int(out.n_clusters)
+            np.testing.assert_array_equal(bouts[k].obj_id[s], out.obj_id)
+            np.testing.assert_array_equal(bouts[k].valid[s], out.valid)
+            # decisions identical; float outputs to ulp tolerance (the scan
+            # body and the standalone step are different XLA programs, so
+            # elementwise fusions may reassociate a rounding step).  vel is
+            # a finite difference of positions over dt=0.1, so the permitted
+            # ~1e-7 position rounding amplifies ~20x there
+            np.testing.assert_allclose(bouts[k].pos[s], out.pos, rtol=2e-7, atol=1e-7)
+            np.testing.assert_allclose(bouts[k].vel[s], out.vel, rtol=2e-7, atol=1e-5)
+        assert int(bouts[1].n_clusters[s]) >= 1  # real objects were tracked
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
+def test_kernel_fleet_space_sharding_psum(fixture_map, rng):
+    """Kernel fleet with points sharded over space: the stacked accumulate
+    runs per point-shard and ONE psum reconstitutes the global grids —
+    results must be independent of the space factor."""
+    cfg = _cfg().replace(
+        voxel_mode="onehot", cluster_backend="grid", dtype="float32"
+    )
+    tracker = Tracker(cfg)
+    env = build_static_mask(fixture_map, cfg.static_tolarance, cfg.occupied_threshold)
+    b, n = 2, cfg.caps.n_max_points
+    obj1 = rng.normal([0.5, 2.0, 0.5], 0.1, (n // 2, 3))
+    obj2 = rng.normal([-0.8, 5.0, 0.5], 0.1, (n - n // 2, 3))
+    points = np.concatenate([obj1, obj2]).astype(np.float32)
+    rng.shuffle(points)
+    points = np.stack([points, points[::-1]])
+    mask = np.ones((b, n), bool)
+    t = np.full(b, 0.1, np.float32)
+
+    outs = []
+    for n_space in (1, 4):
+        st = ShardedTracker(tracker, make_mesh(2, n_space), kernel_path="on")
+        bstate = st.init_state(b)
+        _, bout = st.step(
+            bstate, jnp.asarray(points), jnp.asarray(mask), jnp.asarray(t), env
+        )
+        outs.append(jax.tree.map(np.asarray, bout))
+    np.testing.assert_array_equal(outs[0].n_clusters, outs[1].n_clusters)
+    np.testing.assert_array_equal(outs[0].obj_id, outs[1].obj_id)
+    # n_space=1 tiles the local N (stacked v4 kernel, quantized coords);
+    # n_space=4 leaves N_local=128 untileable, so the per-stream fallback
+    # accumulates in plain f32 — centroids agree to the v4 quantization
+    # bound (<= leaf/252 per point), not bit-exactly
+    np.testing.assert_allclose(
+        outs[0].raw_centroid, outs[1].raw_centroid, rtol=0, atol=2e-3
+    )
+    assert int(outs[0].n_clusters[0]) == 2
+
+
+def test_kernel_path_on_rejects_non_kernel_config():
+    cfg = _cfg()  # dense/jnp
+    with pytest.raises(ValueError, match="kernel_path='on'"):
+        ShardedTracker(Tracker(cfg), make_mesh(1, 1), kernel_path="on")
