@@ -118,9 +118,14 @@ def voxel_accumulate_onehot_cm(
         )
     if use_pallas and block is not None:
         if quant == "fast":
-            acc, npts = _accumulate_pallas_v4(
-                points, mask, scene, leaf_xy, leaf_z, block
+            # v5 (MXU-natural orientation, f32 accumulation) while the
+            # integer-exactness bound holds; the i32-accumulating v4 beyond
+            fast_acc = (
+                _accumulate_pallas_v5
+                if _v5_exact_n(points.shape[0])
+                else _accumulate_pallas_v4
             )
+            acc, npts = fast_acc(points, mask, scene, leaf_xy, leaf_z, block)
             acc = acc.astype(points.dtype)
             return (acc, npts) if with_npts else acc
         # v3 kernel: quantize + mask-fold in-kernel from the raw (N, 3)
@@ -962,6 +967,296 @@ def _accumulate_pallas_v4_stacked(
 
     out, npts = out
     return out.reshape(s, 4, w1 * 128)[:, :, :n_cells], npts[0]  # (S,4,cells),(S,)
+
+
+def _v5_exact_n(n: int) -> bool:
+    """True iff v5's f32 MXU accumulation is integer-exact for n points per
+    frame: the worst-case per-cell channel sum is n * 127 (every point in one
+    cell at digit extreme), which must stay below 2^24 where f32 loses
+    integer exactness.  Beyond that the caller falls back to the i32-
+    accumulating v4 kernel."""
+    return n * 127 < (1 << 24)
+
+
+def _v5_quant_cm(pc, *, gx, gy, gz, bx, by, bz, kx, kz, inv_xy, inv_z,
+                 leaf_xy, leaf_z):
+    """Channel-major (3, B) block -> (lin (1, B), fq (3, B), ok (1, B)).
+    Identical f32 ops to _acc_v4_body's row-major quantize (floor, products,
+    round, clip) so both orientations agree bitwise on the same values."""
+    f32, i32 = jnp.float32, jnp.int32
+    row3 = jax.lax.broadcasted_iota(i32, pc.shape, 0)
+    inv3 = jnp.where(row3 == 2, inv_z, inv_xy).astype(f32)
+    b3 = jnp.where(row3 == 0, bx, jnp.where(row3 == 1, by, bz)).astype(i32)
+    g3 = jnp.where(row3 == 0, gx, jnp.where(row3 == 1, gy, gz)).astype(i32)
+    i3 = jnp.floor(pc * inv3).astype(i32) - b3
+    ok3 = (i3 >= 0) & (i3 < g3) & (pc == pc)          # NaN coords drop here
+    ok = jnp.all(ok3, axis=0, keepdims=True)          # (1, B)
+    lin = jnp.where(ok, i3[0:1] + gx * (i3[1:2] + gy * i3[2:3]), -1)
+    leaf3 = jnp.where(row3 == 2, leaf_z, leaf_xy).astype(f32)
+    s3 = jnp.where(row3 == 2, float(2.0**kz), float(2.0**kx)).astype(f32)
+    cell0 = (i3 + b3).astype(f32) * leaf3
+    frac = pc - cell0 - 0.5 * leaf3
+    fq = jnp.clip(jnp.round(jnp.where(ok, frac, 0.0) * s3).astype(i32),
+                  -127, 127)
+    return lin, fq, ok
+
+
+def _acc_v5_body(p_rm, p_cm, m_rm, acc_ref, lead, first, *, block, gx, gy,
+                 gz, w1, inv_xy, inv_z, leaf_xy, leaf_z, bx, by, bz, kx, kz):
+    """MXU-NATURAL single-digit histogram step (v5): same math as
+    _acc_v4_body, but both dot operands are built directly in the orientation
+    the MXU contracts natively — C[m, n] = sum_k A[m, k] B[k, n] with the lhs
+    contraction on LANES and the rhs contraction on SUBLANES.  v4 contracts
+    dim 0 of both (block, w1) x (block, 128) operands, which makes Mosaic
+    insert a sublane<->lane relayout of each operand before every dot (4
+    channels x N/block blocks per frame); trace-measured at bench shapes that
+    relayout tax — not the MACs — dominates the kernel (~24% of the whole
+    accumulate, scripts/micro_acc_v5.py).
+
+    The trick that avoids ALL relayouts: read the SAME point block twice, once
+    row-major (B, 3) and once channel-major (3, B) (the duplicate read is
+    ~24 KB/block — noise), and quantize both.  The channel-major copy yields
+    the lhs rows natively ((4*w1, B): digit channels masked onto sublane
+    u_row), the row-major copy yields the rhs one-hot natively ((B, 128):
+    lane v per point).  All four channels stack into ONE (4*w1, B) bf16 lhs so
+    the whole block is a single MXU dot.  Digits are ints in [-127, 127]
+    (bf16-exact); accumulation is f32, integer-exact while n*127 < 2^24
+    (_v5_exact_n guards the dispatch).  Output is bit-identical to v4
+    (tests/test_grid.py::test_v5_matches_v4)."""
+    f32, i32 = jnp.float32, jnp.int32
+    bf16 = jnp.bfloat16
+    kw = dict(gx=gx, gy=gy, gz=gz, bx=bx, by=by, bz=bz, kx=kx, kz=kz,
+              inv_xy=inv_xy, inv_z=inv_z, leaf_xy=leaf_xy, leaf_z=leaf_z)
+    lin_c, fq_c, ok_c = _v5_quant_cm(p_cm, **kw)      # lhs rows (1/3, B)
+
+    # rhs lane index from the row-major read (bounds + NaN + external mask
+    # fold into the one-hot row: a dropped point selects NO lane, so its lhs
+    # column — whatever digits it carries — contributes nothing)
+    lane3 = jax.lax.broadcasted_iota(i32, p_rm.shape, 1)
+    inv3 = jnp.where(lane3 == 2, inv_z, inv_xy).astype(f32)
+    b3 = jnp.where(lane3 == 0, bx, jnp.where(lane3 == 1, by, bz)).astype(i32)
+    g3 = jnp.where(lane3 == 0, gx, jnp.where(lane3 == 1, gy, gz)).astype(i32)
+    i3 = jnp.floor(p_rm * inv3).astype(i32) - b3
+    ok3 = (i3 >= 0) & (i3 < g3) & (p_rm == p_rm)
+    ok_r = jnp.all(ok3, axis=1, keepdims=True) & (m_rm != 0.0)   # (B, 1)
+    lin_r = i3[:, 0:1] + gx * (i3[:, 1:2] + gy * i3[:, 2:3])
+    v_col = jnp.where(ok_r, lin_r & 127, -1)
+
+    iota_l = jax.lax.broadcasted_iota(i32, (block, 128), 1)
+    V = (v_col == iota_l).astype(bf16)                # (B, 128) rhs
+
+    u_row = jax.lax.shift_right_arithmetic(lin_c, jnp.int32(7))  # (1, B)
+    iota_s = jax.lax.broadcasted_iota(i32, (w1, block), 0)
+    eq = iota_s == u_row                              # (w1, B)
+    digs = [fq_c[0:1], fq_c[1:2], fq_c[2:3], ok_c.astype(i32)]
+    lhs = jnp.concatenate(
+        [jnp.where(eq, d, 0).astype(bf16) for d in digs], axis=0
+    )                                                 # (4*w1, B)
+    acc = jax.lax.dot_general(
+        lhs, V, (((1,), (0,)), ((), ())), preferred_element_type=f32
+    ).reshape((1,) * len(lead) + (4, w1, 128))
+
+    @pl.when(first)
+    def _():
+        acc_ref[...] = acc
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        acc_ref[...] = acc_ref[...] + acc
+
+
+def _acc_kernel_v5(
+    prm_ref, pcm_ref, msk_ref, out_ref, npts_ref, acc_ref, *, block, gx, gy,
+    gz, w1, inv_xy, inv_z, leaf_xy, leaf_z, bx, by, bz, kx, kz
+):
+    b = pl.program_id(0)
+    _acc_v5_body(
+        prm_ref[...], pcm_ref[...], msk_ref[...], acc_ref, (), b == 0,
+        block=block, gx=gx, gy=gy, gz=gz, w1=w1, inv_xy=inv_xy, inv_z=inv_z,
+        leaf_xy=leaf_xy, leaf_z=leaf_z, bx=bx, by=by, bz=bz, kx=kx, kz=kz,
+    )
+    blk = jnp.sum((msk_ref[...] != 0.0).astype(jnp.int32))
+
+    @pl.when(b == 0)
+    def _():
+        npts_ref[0, 0] = blk
+
+    @pl.when(b > 0)
+    def _():
+        npts_ref[0, 0] = npts_ref[0, 0] + blk
+
+    @pl.when(b == pl.num_programs(0) - 1)
+    def _():
+        _v4_finalize_into(
+            out_ref, acc_ref, (), gx=gx, gy=gy, w1=w1,
+            leaf_xy=leaf_xy, leaf_z=leaf_z, bx=bx, by=by, bz=bz, kx=kx, kz=kz,
+        )
+
+
+def _acc_kernel_v5_stacked(
+    prm_ref, pcm_ref, msk_ref, out_ref, npts_ref, acc_ref, *, block, gx, gy,
+    gz, w1, inv_xy, inv_z, leaf_xy, leaf_z, bx, by, bz, kx, kz
+):
+    si = pl.program_id(0)
+    b = pl.program_id(1)
+    _acc_v5_body(
+        prm_ref[0], pcm_ref[0], msk_ref[0], acc_ref, (0,), b == 0,
+        block=block, gx=gx, gy=gy, gz=gz, w1=w1, inv_xy=inv_xy, inv_z=inv_z,
+        leaf_xy=leaf_xy, leaf_z=leaf_z, bx=bx, by=by, bz=bz, kx=kx, kz=kz,
+    )
+    blk = jnp.sum((msk_ref[0] != 0.0).astype(jnp.int32))
+
+    @pl.when(b == 0)
+    def _():
+        npts_ref[0, si] = blk
+
+    @pl.when(b > 0)
+    def _():
+        npts_ref[0, si] = npts_ref[0, si] + blk
+
+    @pl.when(b == pl.num_programs(1) - 1)
+    def _():
+        _v4_finalize_into(
+            out_ref, acc_ref, (0,), gx=gx, gy=gy, w1=w1,
+            leaf_xy=leaf_xy, leaf_z=leaf_z, bx=bx, by=by, bz=bz, kx=kx, kz=kz,
+        )
+
+
+def _cap_block_v5(block: int, n: int) -> int:
+    """v5's scoped-VMEM envelope admits 4096-point blocks (the f32 i32
+    scratch of v3/v4 is replaced by one bf16 (4*w1, B) lhs); same loud
+    divisibility contract as _cap_block (ADVICE r3)."""
+    block = min(block, 4096)
+    if n % block != 0:
+        raise ValueError(
+            f"point block {block} does not tile N={n} (after the 4096 "
+            "scoped-VMEM cap); choose a block that divides N — see _pick_block"
+        )
+    return block
+
+
+def _v5_kernel_params(scene, leaf_xy, leaf_z):
+    gx, gy, gz = grid_shape(scene, leaf_xy, leaf_z)
+    n_cells = gx * gy * gz
+    w1 = -(-n_cells // 128)
+    kx, kz = _v4_shifts(leaf_xy, leaf_z)
+    return dict(
+        gx=gx, gy=gy, gz=gz, w1=w1,
+        inv_xy=float(1.0 / leaf_xy), inv_z=float(1.0 / leaf_z),
+        leaf_xy=float(leaf_xy), leaf_z=float(leaf_z),
+        bx=math.floor(scene.x_min / leaf_xy),
+        by=math.floor(scene.y_min / leaf_xy),
+        bz=math.floor(scene.z_min / leaf_z),
+        kx=kx, kz=kz,
+    ), n_cells, w1
+
+
+def _accumulate_pallas_v5(
+    points: jnp.ndarray,   # (N, 3) f32 RAW frame points
+    mask: jnp.ndarray,     # (N,) or (N, 1) validity; nonzero = keep
+    scene: SceneBounds,
+    leaf_xy: float,
+    leaf_z: float,
+    block: int,
+    interpret: bool = False,
+    points_cm: jnp.ndarray | None = None,  # optional pre-staged (3, N) copy
+) -> jnp.ndarray:
+    """((4, n_cells) channel-major accumulator, scalar valid-point count) via
+    the MXU-natural single-digit kernel — bit-identical outputs to
+    _accumulate_pallas_v4, ~24% faster at bench shapes (the per-dot operand
+    relayouts are gone; scripts/micro_acc_v5.py).  Requires
+    _v5_exact_n(N) — the caller (voxel_accumulate_onehot_cm) falls back to
+    the i32-accumulating v4 beyond that.  ``points_cm`` lets a host-staging
+    caller skip the XLA transpose."""
+    block = _cap_block_v5(block, points.shape[0])
+    kw, n_cells, w1 = _v5_kernel_params(scene, leaf_xy, leaf_z)
+    n = points.shape[0]
+    points = points.astype(jnp.float32)
+    if points_cm is None:
+        points_cm = jnp.swapaxes(points, 0, 1)
+
+    out, npts = pl.pallas_call(
+        functools.partial(_acc_kernel_v5, block=block, **kw),
+        grid=(n // block,),
+        in_specs=[
+            pl.BlockSpec((block, 3), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, block), lambda b: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, 1), lambda b: (b, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (4, w1, 128), lambda b: (0, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((1, 1), lambda b: (0, 0), memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((4, w1, 128), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        ),
+        scratch_shapes=[pltpu.VMEM((4, w1, 128), jnp.float32)],
+        interpret=interpret,
+    )(
+        points,
+        points_cm.astype(jnp.float32),
+        mask.astype(jnp.float32).reshape(n, 1),
+    )
+    return out.reshape(4, w1 * 128)[:, :n_cells], npts[0, 0]
+
+
+def _accumulate_pallas_v5_stacked(
+    points: jnp.ndarray,   # (S, N, 3) f32 RAW stacked frame points
+    mask: jnp.ndarray,     # (S, N) validity; nonzero = keep
+    scene: SceneBounds,
+    leaf_xy: float,
+    leaf_z: float,
+    block: int,
+    interpret: bool = False,
+    points_cm: jnp.ndarray | None = None,  # optional pre-staged (S, 3, N)
+) -> jnp.ndarray:
+    """(S, 4, n_cells) stacked MXU-natural accumulators in ONE kernel call;
+    per-frame results bit-identical to _accumulate_pallas_v4_stacked (and so
+    to the per-frame v4/v5).  Drop-in for the hoisted-accumulate scan in
+    bind_env_multi."""
+    block = _cap_block_v5(block, points.shape[1])
+    kw, n_cells, w1 = _v5_kernel_params(scene, leaf_xy, leaf_z)
+    s, n = points.shape[0], points.shape[1]
+    points = points.astype(jnp.float32)
+    if points_cm is None:
+        points_cm = jnp.swapaxes(points, 1, 2)
+
+    out, npts = pl.pallas_call(
+        functools.partial(_acc_kernel_v5_stacked, block=block, **kw),
+        grid=(s, n // block),
+        in_specs=[
+            pl.BlockSpec(
+                (1, block, 3), lambda si, b: (si, b, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 3, block), lambda si, b: (si, 0, b), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, block, 1), lambda si, b: (si, b, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (1, 4, w1, 128), lambda si, b: (si, 0, 0, 0),
+                memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((1, s), lambda si, b: (0, 0), memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((s, 4, w1, 128), jnp.float32),
+            jax.ShapeDtypeStruct((1, s), jnp.int32),
+        ),
+        scratch_shapes=[pltpu.VMEM((1, 4, w1, 128), jnp.float32)],
+        interpret=interpret,
+    )(
+        points,
+        points_cm.astype(jnp.float32),
+        mask.astype(jnp.float32).reshape(s, n, 1),
+    )
+    return out.reshape(s, 4, w1 * 128)[:, :, :n_cells], npts[0]
 
 
 def _accumulate_pallas_v3_stacked(

@@ -111,8 +111,10 @@ class ShardedTracker:
         from multiple_object_tracking_lidar_tpu.ops.voxel_grid import (
             _accumulate_pallas_v3_stacked,
             _accumulate_pallas_v4_stacked,
+            _accumulate_pallas_v5_stacked,
             _pick_block,
             _v3_leaf_ok,
+            _v5_exact_n,
             voxel_accumulate_onehot_cm,
         )
         from multiple_object_tracking_lidar_tpu.tracker.pipeline import (
@@ -128,10 +130,13 @@ class ShardedTracker:
         leaf, leaf_z = cfg.voxel_leaf_size, cfg.leaf_z
         if cfg.voxel_quant == "fast":
             stacked_acc = _accumulate_pallas_v4_stacked
+            fast = True
         elif _v3_leaf_ok(leaf, leaf_z):
             stacked_acc = _accumulate_pallas_v3_stacked
+            fast = False
         else:
             stacked_acc = None
+            fast = False
 
         def local_fn(bank_state, points, mask, t, env, table):
             # points: (B_local, N_local, 3) — N sharded over "space".
@@ -142,10 +147,17 @@ class ShardedTracker:
             block = _pick_block(n_local) if stacked_acc is not None else None
             ptsf = points.astype(jnp.float32)
             if block is not None:
+                # MXU-natural v5 whenever the per-shard N keeps its f32
+                # accumulation integer-exact (bit-identical to v4)
+                acc_fn = (
+                    _accumulate_pallas_v5_stacked
+                    if fast and _v5_exact_n(n_local)
+                    else stacked_acc
+                )
                 # ONE stacked kernel call accumulates every local stream's
                 # point shard (bit-identical per frame to the single-frame
                 # kernel — tests/test_grid.py)
-                accs, n_pts = stacked_acc(
+                accs, n_pts = acc_fn(
                     ptsf, mask, cfg.scene, leaf, leaf_z, block,
                     interpret=interpret,
                 )

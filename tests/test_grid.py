@@ -727,6 +727,78 @@ def test_v4_accumulator_quant_bound(rng):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(got2))
 
 
+def test_v5_matches_v4_bit_identical(rng):
+    """The MXU-natural v5 accumulator (interpret) == v4 bit-for-bit —
+    including masked-out points, NaN coordinates, and out-of-bounds points
+    (all of which must select no one-hot lane), the SMEM valid-point count,
+    and the pre-staged channel-major operand path."""
+    from multiple_object_tracking_lidar_tpu.ops.voxel_grid import (
+        _accumulate_pallas_v4,
+        _accumulate_pallas_v5,
+        _v5_exact_n,
+    )
+
+    assert _v5_exact_n(106496) and not _v5_exact_n(1 << 18)
+    n = 1024
+    r = np.random.default_rng(29)
+    pts = np.stack(
+        [r.uniform(-3, 3, n), r.uniform(-2, 7, n), r.uniform(-0.5, 2.5, n)],
+        axis=1,
+    ).astype(np.float32)
+    pts[7, 1] = np.nan          # NaN coordinate -> dropped in-kernel
+    pts[11] = [999.0, 999.0, 999.0]  # far out of bounds
+    mask = r.random(n) < 0.85
+    ref, n4 = _accumulate_pallas_v4(
+        jnp.asarray(pts), jnp.asarray(mask), SCENE, LEAF, LEAF_Z,
+        block=512, interpret=True,
+    )
+    got, n5 = _accumulate_pallas_v5(
+        jnp.asarray(pts), jnp.asarray(mask), SCENE, LEAF, LEAF_Z,
+        block=512, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+    assert int(n5) == int(n4) == int(mask.sum())
+    # pre-staged channel-major operand: same result
+    got2, _ = _accumulate_pallas_v5(
+        jnp.asarray(pts), jnp.asarray(mask), SCENE, LEAF, LEAF_Z,
+        block=512, interpret=True,
+        points_cm=jnp.asarray(np.ascontiguousarray(pts.T)),
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(got2))
+
+
+def test_stacked_accumulator_v5_bit_identical(rng):
+    """The batched v5 accumulator == the per-frame v5/v4 kernels,
+    bit-for-bit, with per-frame masks."""
+    from multiple_object_tracking_lidar_tpu.ops.voxel_grid import (
+        _accumulate_pallas_v4,
+        _accumulate_pallas_v5_stacked,
+    )
+
+    s, n = 3, 1024
+    r = np.random.default_rng(31)
+    pts = np.stack(
+        [
+            r.uniform(-3, 3, (s, n)),
+            r.uniform(-2, 7, (s, n)),
+            r.uniform(-0.5, 2.5, (s, n)),
+        ],
+        axis=2,
+    ).astype(np.float32)
+    mask = r.random((s, n)) < 0.8
+    got, npts = _accumulate_pallas_v5_stacked(
+        jnp.asarray(pts), jnp.asarray(mask), SCENE, LEAF, LEAF_Z,
+        block=512, interpret=True,
+    )
+    for i in range(s):
+        ref, n1 = _accumulate_pallas_v4(
+            jnp.asarray(pts[i]), jnp.asarray(mask[i]), SCENE, LEAF, LEAF_Z,
+            block=512, interpret=True,
+        )
+        np.testing.assert_array_equal(np.asarray(got[i]), np.asarray(ref))
+        assert int(npts[i]) == int(n1) == int(mask[i].sum())
+
+
 def test_centroid_pallas_matches_table_path(rng):
     """The VMEM circumcenter kernel (interpret) == the jnp table path on
     grid-like coordinates (exact tie-break agreement)."""
