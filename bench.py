@@ -177,9 +177,13 @@ class _Case:
         """Profiler-derived device busy time per cloud (VERDICT r3 #6: make
         the 'tunnel jitter, device stable' claim machine-checkable from the
         bench artifact).  Traces ``n_scans`` multi dispatches ``n_reps``
-        times and aggregates TPU XLA-op durations from the xplane protobuf —
-        wall-clock plays no part, so tunnel RTT jitter cannot enter.
-        Records device_us_per_cloud (median of reps) and the rep spread."""
+        times and sums the TPU plane's **"XLA Modules"** line — one
+        non-overlapping span per program execution, i.e. true device busy
+        time.  (The "XLA Ops" line double-counts nested fusions and the
+        "Async XLA Ops" line sums overlapping async spans; a substring
+        match over both over-counted ~9x here.)  Wall-clock plays no part,
+        so tunnel RTT jitter cannot enter.  Records device_us_per_cloud
+        (median of reps) and the rep spread."""
         import glob
         import os
         import shutil
@@ -209,7 +213,7 @@ class _Case:
                         if "tpu" not in plane.name.lower():
                             continue
                         for line in plane.lines:
-                            if "xla op" not in line.name.lower():
+                            if line.name.lower() != "xla modules":
                                 continue
                             for ev in line.events:
                                 total_ms += ev.duration_ps / 1e9
