@@ -96,12 +96,18 @@ def voxel_accumulate_onehot_cm(
     bf16 operand in HBM, ~100 MB at bench shapes), the jnp lowering
     elsewhere.  Results agree to f32 summation order.
 
-    ``quant="fast"`` selects the 4-channel single-digit kernel (v4): one
-    int8 digit per axis instead of two, so the per-point coordinate is
+    ``quant="fast"`` selects the 4-channel single-digit scheme: one int8
+    digit per axis instead of two, so the per-point coordinate is
     quantized to leaf/2^(k+1) with 2^k the largest power of two holding
     leaf/2*2^k <= 126 (~0.12 mm xy / ~3.9 mm z at the 0.05 m bench leaf —
     far below sensor noise and the voxel size itself).  Sums stay
-    bit-deterministic integers; the MXU dot count drops 7 -> 4."""
+    bit-deterministic integers; the digit channel count drops 7 -> 4.
+
+    Kernel selection within each mode is automatic: the MXU-natural
+    single-dot kernels (v5 fast / v6 exact — no per-dot operand relayouts)
+    whenever the per-frame N keeps their f32 digit sums integer-exact
+    (n*127 resp. n*128 < 2^24), else the i32-accumulating v4/v3.  All four
+    produce bit-identical outputs within their mode."""
     gx, gy, gz = grid_shape(scene, leaf_xy, leaf_z)
     gyz = gy * gz
     bx = math.floor(scene.x_min / leaf_xy)
@@ -137,7 +143,15 @@ def voxel_accumulate_onehot_cm(
         # frac silently wraps in the int8 narrow, so fall back to the bf16x3
         # v2 kernel (exact at any leaf size).  ADVICE r2.
         if _v3_leaf_ok(leaf_xy, leaf_z):
-            acc, npts = _accumulate_pallas_v3(
+            # MXU-natural v6 (one dot per block, no per-dot relayouts)
+            # while its f32 accumulation stays integer-exact; the
+            # i32-accumulating v3 beyond.  Bit-identical outputs.
+            exact_acc = (
+                _accumulate_pallas_v6
+                if _v6_exact_n(points.shape[0])
+                else _accumulate_pallas_v3
+            )
+            acc, npts = exact_acc(
                 points, mask, scene, leaf_xy, leaf_z, block
             )
             acc = acc.astype(points.dtype)
@@ -1250,6 +1264,279 @@ def _accumulate_pallas_v5_stacked(
             jax.ShapeDtypeStruct((1, s), jnp.int32),
         ),
         scratch_shapes=[pltpu.VMEM((1, 4, w1, 128), jnp.float32)],
+        interpret=interpret,
+    )(
+        points,
+        points_cm.astype(jnp.float32),
+        mask.astype(jnp.float32).reshape(s, n, 1),
+    )
+    return out.reshape(s, 4, w1 * 128)[:, :, :n_cells], npts[0]
+
+
+def _v6_exact_n(n: int) -> bool:
+    """True iff v6's f32 MXU accumulation is integer-exact for n points per
+    frame: v3's balanced digits span [-128, 128] (vs v5's single digit at
+    127), so the worst-case per-cell channel sum is n * 128, which must
+    stay below 2^24 where f32 loses integer exactness.  Beyond that the
+    caller falls back to the i32-accumulating v3 kernel."""
+    return n * 128 < (1 << 24)
+
+
+def _v6_quant_cm(pc, *, gx, gy, gz, bx, by, bz, inv_xy, inv_z,
+                 leaf_xy, leaf_z):
+    """Channel-major (3, B) block -> (lin (1, B), d0 (3, B), d1 (3, B),
+    ok (1, B)) with v3's TWO-balanced-digit scheme at the fixed
+    2^_FXP_XY / 2^_FXP_Z scales.  Identical f32/i32 ops to _acc_v3_body's
+    row-major quantize (floor, products, round, digit split) so both
+    orientations agree bitwise on the same values."""
+    f32, i32 = jnp.float32, jnp.int32
+    row3 = jax.lax.broadcasted_iota(i32, pc.shape, 0)
+    inv3 = jnp.where(row3 == 2, inv_z, inv_xy).astype(f32)
+    b3 = jnp.where(row3 == 0, bx, jnp.where(row3 == 1, by, bz)).astype(i32)
+    g3 = jnp.where(row3 == 0, gx, jnp.where(row3 == 1, gy, gz)).astype(i32)
+    i3 = jnp.floor(pc * inv3).astype(i32) - b3
+    ok3 = (i3 >= 0) & (i3 < g3) & (pc == pc)          # NaN coords drop here
+    ok = jnp.all(ok3, axis=0, keepdims=True)          # (1, B)
+    lin = jnp.where(ok, i3[0:1] + gx * (i3[1:2] + gy * i3[2:3]), -1)
+    leaf3 = jnp.where(row3 == 2, leaf_z, leaf_xy).astype(f32)
+    s3 = jnp.where(
+        row3 == 2, float(1 << _FXP_Z), float(1 << _FXP_XY)
+    ).astype(f32)
+    cell0 = (i3 + b3).astype(f32) * leaf3             # same product as recon
+    frac = pc - cell0 - 0.5 * leaf3                   # in [-leaf/2, leaf/2)
+    fq = jnp.round(jnp.where(ok, frac, 0.0) * s3).astype(i32)
+    d0 = ((fq + 128) & 255) - 128
+    d1 = jax.lax.shift_right_arithmetic(fq - d0, jnp.int32(8))
+    return lin, d0, d1, ok
+
+
+def _acc_v6_body(p_rm, p_cm, m_rm, acc_ref, lead, first, *, block, gx, gy,
+                 gz, w1, inv_xy, inv_z, leaf_xy, leaf_z, bx, by, bz):
+    """MXU-NATURAL EXACT-mode histogram step: v6 = v3's two-balanced-digit
+    cell-relative scheme carried in v5's relayout-free orientation.  The
+    7 digit channels (x d0/d1, y d0/d1, z d0/d1, count) stack into ONE
+    (7*w1, B) bf16 lhs and the whole block is a single MXU dot against the
+    (B, 128) one-hot rhs — no per-dot operand relayouts (see _acc_v5_body
+    for the orientation analysis).  Digits are ints in [-128, 128]
+    (bf16-exact); accumulation is f32, integer-exact while n*128 < 2^24
+    (_v6_exact_n guards the dispatch), so the digit sums are the same
+    exact integers v3 accumulates in i32 and the shared _v3_finalize_into
+    reconstruction is bit-identical
+    (tests/test_grid.py::test_v6_matches_v3)."""
+    f32, i32 = jnp.float32, jnp.int32
+    bf16 = jnp.bfloat16
+    lin_c, d0_c, d1_c, ok_c = _v6_quant_cm(
+        p_cm, gx=gx, gy=gy, gz=gz, bx=bx, by=by, bz=bz,
+        inv_xy=inv_xy, inv_z=inv_z, leaf_xy=leaf_xy, leaf_z=leaf_z,
+    )
+
+    # rhs lane one-hot from the row-major read; bounds + NaN + external
+    # mask fold here, so a dropped point's lhs digits contribute nothing
+    lane3 = jax.lax.broadcasted_iota(i32, p_rm.shape, 1)
+    inv3 = jnp.where(lane3 == 2, inv_z, inv_xy).astype(f32)
+    b3 = jnp.where(lane3 == 0, bx, jnp.where(lane3 == 1, by, bz)).astype(i32)
+    g3 = jnp.where(lane3 == 0, gx, jnp.where(lane3 == 1, gy, gz)).astype(i32)
+    i3 = jnp.floor(p_rm * inv3).astype(i32) - b3
+    ok3 = (i3 >= 0) & (i3 < g3) & (p_rm == p_rm)
+    ok_r = jnp.all(ok3, axis=1, keepdims=True) & (m_rm != 0.0)   # (B, 1)
+    lin_r = i3[:, 0:1] + gx * (i3[:, 1:2] + gy * i3[:, 2:3])
+    v_col = jnp.where(ok_r, lin_r & 127, -1)
+    iota_l = jax.lax.broadcasted_iota(i32, (block, 128), 1)
+    V = (v_col == iota_l).astype(bf16)                # (B, 128) rhs
+
+    u_row = jax.lax.shift_right_arithmetic(lin_c, jnp.int32(7))  # (1, B)
+    iota_s = jax.lax.broadcasted_iota(i32, (w1, block), 0)
+    eq = iota_s == u_row                              # (w1, B)
+    digs = [
+        d0_c[0:1], d1_c[0:1],
+        d0_c[1:2], d1_c[1:2],
+        d0_c[2:3], d1_c[2:3],
+        ok_c.astype(i32),
+    ]
+    lhs = jnp.concatenate(
+        [jnp.where(eq, d, 0).astype(bf16) for d in digs], axis=0
+    )                                                 # (7*w1, B)
+    acc = jax.lax.dot_general(
+        lhs, V, (((1,), (0,)), ((), ())), preferred_element_type=f32
+    ).reshape((1,) * len(lead) + (7, w1, 128))
+
+    @pl.when(first)
+    def _():
+        acc_ref[...] = acc
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        acc_ref[...] = acc_ref[...] + acc
+
+
+def _acc_kernel_v6(
+    prm_ref, pcm_ref, msk_ref, out_ref, npts_ref, acc_ref, *, block, gx, gy,
+    gz, w1, inv_xy, inv_z, leaf_xy, leaf_z, bx, by, bz
+):
+    b = pl.program_id(0)
+    _acc_v6_body(
+        prm_ref[...], pcm_ref[...], msk_ref[...], acc_ref, (), b == 0,
+        block=block, gx=gx, gy=gy, gz=gz, w1=w1, inv_xy=inv_xy, inv_z=inv_z,
+        leaf_xy=leaf_xy, leaf_z=leaf_z, bx=bx, by=by, bz=bz,
+    )
+    blk = jnp.sum((msk_ref[...] != 0.0).astype(jnp.int32))
+
+    @pl.when(b == 0)
+    def _():
+        npts_ref[0, 0] = blk
+
+    @pl.when(b > 0)
+    def _():
+        npts_ref[0, 0] = npts_ref[0, 0] + blk
+
+    @pl.when(b == pl.num_programs(0) - 1)
+    def _():
+        _v3_finalize_into(
+            out_ref, acc_ref, (), gx=gx, gy=gy, w1=w1,
+            leaf_xy=leaf_xy, leaf_z=leaf_z, bx=bx, by=by, bz=bz,
+        )
+
+
+def _acc_kernel_v6_stacked(
+    prm_ref, pcm_ref, msk_ref, out_ref, npts_ref, acc_ref, *, block, gx, gy,
+    gz, w1, inv_xy, inv_z, leaf_xy, leaf_z, bx, by, bz
+):
+    si = pl.program_id(0)
+    b = pl.program_id(1)
+    _acc_v6_body(
+        prm_ref[0], pcm_ref[0], msk_ref[0], acc_ref, (0,), b == 0,
+        block=block, gx=gx, gy=gy, gz=gz, w1=w1, inv_xy=inv_xy, inv_z=inv_z,
+        leaf_xy=leaf_xy, leaf_z=leaf_z, bx=bx, by=by, bz=bz,
+    )
+    blk = jnp.sum((msk_ref[0] != 0.0).astype(jnp.int32))
+
+    @pl.when(b == 0)
+    def _():
+        npts_ref[0, si] = blk
+
+    @pl.when(b > 0)
+    def _():
+        npts_ref[0, si] = npts_ref[0, si] + blk
+
+    @pl.when(b == pl.num_programs(1) - 1)
+    def _():
+        _v3_finalize_into(
+            out_ref, acc_ref, (0,), gx=gx, gy=gy, w1=w1,
+            leaf_xy=leaf_xy, leaf_z=leaf_z, bx=bx, by=by, bz=bz,
+        )
+
+
+def _v6_kernel_params(scene, leaf_xy, leaf_z):
+    gx, gy, gz = grid_shape(scene, leaf_xy, leaf_z)
+    n_cells = gx * gy * gz
+    w1 = -(-n_cells // 128)
+    return dict(
+        gx=gx, gy=gy, gz=gz, w1=w1,
+        inv_xy=float(1.0 / leaf_xy), inv_z=float(1.0 / leaf_z),
+        leaf_xy=float(leaf_xy), leaf_z=float(leaf_z),
+        bx=math.floor(scene.x_min / leaf_xy),
+        by=math.floor(scene.y_min / leaf_xy),
+        bz=math.floor(scene.z_min / leaf_z),
+    ), n_cells, w1
+
+
+def _accumulate_pallas_v6(
+    points: jnp.ndarray,   # (N, 3) f32 RAW frame points
+    mask: jnp.ndarray,     # (N,) or (N, 1) validity; nonzero = keep
+    scene: SceneBounds,
+    leaf_xy: float,
+    leaf_z: float,
+    block: int,
+    interpret: bool = False,
+    points_cm: jnp.ndarray | None = None,  # optional pre-staged (3, N) copy
+) -> jnp.ndarray:
+    """((4, n_cells) channel-major accumulator, scalar valid-point count)
+    via the MXU-natural EXACT kernel — bit-identical outputs to
+    _accumulate_pallas_v3 (same two-balanced-digit quantization, same
+    finalize).  Requires _v3_leaf_ok AND _v6_exact_n; the caller falls back
+    to the i32-accumulating v3 beyond either bound."""
+    block = _cap_block_v5(block, points.shape[0])
+    kw, n_cells, w1 = _v6_kernel_params(scene, leaf_xy, leaf_z)
+    n = points.shape[0]
+    points = points.astype(jnp.float32)
+    if points_cm is None:
+        points_cm = jnp.swapaxes(points, 0, 1)
+
+    out, npts = pl.pallas_call(
+        functools.partial(_acc_kernel_v6, block=block, **kw),
+        grid=(n // block,),
+        in_specs=[
+            pl.BlockSpec((block, 3), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, block), lambda b: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, 1), lambda b: (b, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (4, w1, 128), lambda b: (0, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((1, 1), lambda b: (0, 0), memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((4, w1, 128), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        ),
+        scratch_shapes=[pltpu.VMEM((7, w1, 128), jnp.float32)],
+        interpret=interpret,
+    )(
+        points,
+        points_cm.astype(jnp.float32),
+        mask.astype(jnp.float32).reshape(n, 1),
+    )
+    return out.reshape(4, w1 * 128)[:, :n_cells], npts[0, 0]
+
+
+def _accumulate_pallas_v6_stacked(
+    points: jnp.ndarray,   # (S, N, 3) f32 RAW stacked frame points
+    mask: jnp.ndarray,     # (S, N) validity; nonzero = keep
+    scene: SceneBounds,
+    leaf_xy: float,
+    leaf_z: float,
+    block: int,
+    interpret: bool = False,
+    points_cm: jnp.ndarray | None = None,  # optional pre-staged (S, 3, N)
+) -> jnp.ndarray:
+    """(S, 4, n_cells) stacked MXU-natural EXACT accumulators in ONE kernel
+    call; per-frame results bit-identical to _accumulate_pallas_v3_stacked
+    (and so to the per-frame v3/v6).  Drop-in for the hoisted-accumulate
+    scan in bind_env_multi's voxel_quant="exact" branch."""
+    block = _cap_block_v5(block, points.shape[1])
+    kw, n_cells, w1 = _v6_kernel_params(scene, leaf_xy, leaf_z)
+    s, n = points.shape[0], points.shape[1]
+    points = points.astype(jnp.float32)
+    if points_cm is None:
+        points_cm = jnp.swapaxes(points, 1, 2)
+
+    out, npts = pl.pallas_call(
+        functools.partial(_acc_kernel_v6_stacked, block=block, **kw),
+        grid=(s, n // block),
+        in_specs=[
+            pl.BlockSpec(
+                (1, block, 3), lambda si, b: (si, b, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 3, block), lambda si, b: (si, 0, b), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, block, 1), lambda si, b: (si, b, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (1, 4, w1, 128), lambda si, b: (si, 0, 0, 0),
+                memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((1, s), lambda si, b: (0, 0), memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((s, 4, w1, 128), jnp.float32),
+            jax.ShapeDtypeStruct((1, s), jnp.int32),
+        ),
+        scratch_shapes=[pltpu.VMEM((1, 7, w1, 128), jnp.float32)],
         interpret=interpret,
     )(
         points,

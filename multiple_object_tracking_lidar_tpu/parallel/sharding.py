@@ -112,9 +112,11 @@ class ShardedTracker:
             _accumulate_pallas_v3_stacked,
             _accumulate_pallas_v4_stacked,
             _accumulate_pallas_v5_stacked,
+            _accumulate_pallas_v6_stacked,
             _pick_block,
             _v3_leaf_ok,
             _v5_exact_n,
+            _v6_exact_n,
             voxel_accumulate_onehot_cm,
         )
         from multiple_object_tracking_lidar_tpu.tracker.pipeline import (
@@ -147,13 +149,17 @@ class ShardedTracker:
             block = _pick_block(n_local) if stacked_acc is not None else None
             ptsf = points.astype(jnp.float32)
             if block is not None:
-                # MXU-natural v5 whenever the per-shard N keeps its f32
-                # accumulation integer-exact (bit-identical to v4)
-                acc_fn = (
-                    _accumulate_pallas_v5_stacked
-                    if fast and _v5_exact_n(n_local)
-                    else stacked_acc
-                )
+                # MXU-natural v5/v6 whenever the per-shard N keeps the f32
+                # accumulation integer-exact (bit-identical to v4/v3)
+                if fast and _v5_exact_n(n_local):
+                    acc_fn = _accumulate_pallas_v5_stacked
+                elif (
+                    stacked_acc is _accumulate_pallas_v3_stacked
+                    and _v6_exact_n(n_local)
+                ):
+                    acc_fn = _accumulate_pallas_v6_stacked
+                else:
+                    acc_fn = stacked_acc
                 # ONE stacked kernel call accumulates every local stream's
                 # point shard (bit-identical per frame to the single-frame
                 # kernel — tests/test_grid.py)

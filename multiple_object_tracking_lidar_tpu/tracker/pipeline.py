@@ -212,9 +212,11 @@ class Tracker:
                 _accumulate_pallas_v3_stacked,
                 _accumulate_pallas_v4_stacked,
                 _accumulate_pallas_v5_stacked,
+                _accumulate_pallas_v6_stacked,
                 _pick_block,
                 _v3_leaf_ok,
                 _v5_exact_n,
+                _v6_exact_n,
             )
 
             leaf, leaf_z = cfg.voxel_leaf_size, cfg.leaf_z
@@ -227,7 +229,14 @@ class Tracker:
                     else _accumulate_pallas_v4_stacked
                 )
             elif _v3_leaf_ok(leaf, leaf_z):
-                stacked_acc = _accumulate_pallas_v3_stacked
+                # exact mode gets the same orientation win: MXU-natural v6
+                # while its f32 digit sums stay integer-exact (bit-identical
+                # to v3); the i32-accumulating v3 beyond
+                stacked_acc = (
+                    _accumulate_pallas_v6_stacked
+                    if _v6_exact_n(cfg.caps.n_max_points)
+                    else _accumulate_pallas_v3_stacked
+                )
             else:
                 stacked_acc = None
             hoist_acc = stacked_acc is not None
@@ -252,13 +261,17 @@ class Tracker:
                 block = _pick_block(frames.points.shape[1])
                 if block is None:
                     return multi_scan(state, frames, env_a, table_a)
-                # re-gate v5 on the ACTUAL stacked N (bind time used the
+                # re-gate v5/v6 on the ACTUAL stacked N (bind time used the
                 # configured capacity; a caller may stack more points)
                 acc_fn = stacked_acc
                 if acc_fn is _accumulate_pallas_v5_stacked and not _v5_exact_n(
                     frames.points.shape[1]
                 ):
                     acc_fn = _accumulate_pallas_v4_stacked
+                if acc_fn is _accumulate_pallas_v6_stacked and not _v6_exact_n(
+                    frames.points.shape[1]
+                ):
+                    acc_fn = _accumulate_pallas_v3_stacked
                 # mask may arrive (S, N) bool or pre-staged (S, N, 1) f32
                 # (bench.stage_stacked pins the latter's layout so the
                 # kernel consumes the parameter with zero relayout copies).

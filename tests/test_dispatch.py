@@ -5,6 +5,7 @@ mode (C15) must match a loop oracle that chains the shared GP state."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 import oracle
 from multiple_object_tracking_lidar_tpu.config import Capacities, TrackerConfig
@@ -184,19 +185,21 @@ def test_pipeline_voxel_runs_mode_matches_dense(fixture_map):
         )
 
 
-def test_hoisted_multi_body_matches_scan_on_cpu(fixture_map):
+@pytest.mark.parametrize("quant", ["fast", "exact"])
+def test_hoisted_multi_body_matches_scan_on_cpu(fixture_map, quant):
     """ADVICE r3: the hoisted stacked-accumulate multi body was gated on
     jax.default_backend() == 'tpu', so the CPU suite never executed it.
     hoist='on' forces that exact body with interpret-mode kernels; its
     tracking decisions must match the per-frame scan (hoist='off'), and its
     detections must agree to the accumulator's documented quantization
     (counts exact; coordinates <= leaf/252 per point => centroids well
-    within 1e-3 of the f32 path)."""
+    within 1e-3 of the f32 path).  Parameterized over both quant modes so
+    the exact branch (v6 stacked kernel) is exercised too."""
     cfg = _cfg().replace(
         voxel_mode="onehot",
         cluster_backend="grid",
         dtype="float32",
-        voxel_quant="fast",
+        voxel_quant=quant,
     )
     tracker = Tracker(cfg)
     env = build_static_mask(fixture_map, cfg.static_tolarance)

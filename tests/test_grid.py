@@ -799,6 +799,79 @@ def test_stacked_accumulator_v5_bit_identical(rng):
         assert int(npts[i]) == int(n1) == int(mask[i].sum())
 
 
+def test_v6_matches_v3(rng):
+    """The MXU-natural EXACT accumulator v6 (interpret) == v3 bit-for-bit —
+    same two-balanced-digit quantization + finalize, f32 digit sums
+    integer-exact under _v6_exact_n — including masked-out points, NaN
+    coordinates, out-of-bounds points, the SMEM valid-point count, and the
+    pre-staged channel-major operand path."""
+    from multiple_object_tracking_lidar_tpu.ops.voxel_grid import (
+        _accumulate_pallas_v3,
+        _accumulate_pallas_v6,
+        _v6_exact_n,
+    )
+
+    assert _v6_exact_n(106496) and not _v6_exact_n(1 << 17)
+    n = 1024
+    r = np.random.default_rng(37)
+    pts = np.stack(
+        [r.uniform(-3, 3, n), r.uniform(-2, 7, n), r.uniform(-0.5, 2.5, n)],
+        axis=1,
+    ).astype(np.float32)
+    pts[7, 1] = np.nan          # NaN coordinate -> dropped in-kernel
+    pts[11] = [999.0, 999.0, 999.0]  # far out of bounds
+    mask = r.random(n) < 0.85
+    ref, n3 = _accumulate_pallas_v3(
+        jnp.asarray(pts), jnp.asarray(mask), SCENE, LEAF, LEAF_Z,
+        block=512, interpret=True,
+    )
+    got, n6 = _accumulate_pallas_v6(
+        jnp.asarray(pts), jnp.asarray(mask), SCENE, LEAF, LEAF_Z,
+        block=512, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+    assert int(n6) == int(n3) == int(mask.sum())
+    # pre-staged channel-major operand: same result
+    got2, _ = _accumulate_pallas_v6(
+        jnp.asarray(pts), jnp.asarray(mask), SCENE, LEAF, LEAF_Z,
+        block=512, interpret=True,
+        points_cm=jnp.asarray(np.ascontiguousarray(pts.T)),
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(got2))
+
+
+def test_stacked_accumulator_v6_bit_identical(rng):
+    """The batched v6 accumulator == the per-frame v3 kernel, bit-for-bit,
+    with per-frame masks."""
+    from multiple_object_tracking_lidar_tpu.ops.voxel_grid import (
+        _accumulate_pallas_v3,
+        _accumulate_pallas_v6_stacked,
+    )
+
+    s, n = 3, 1024
+    r = np.random.default_rng(41)
+    pts = np.stack(
+        [
+            r.uniform(-3, 3, (s, n)),
+            r.uniform(-2, 7, (s, n)),
+            r.uniform(-0.5, 2.5, (s, n)),
+        ],
+        axis=2,
+    ).astype(np.float32)
+    mask = r.random((s, n)) < 0.8
+    got, npts = _accumulate_pallas_v6_stacked(
+        jnp.asarray(pts), jnp.asarray(mask), SCENE, LEAF, LEAF_Z,
+        block=512, interpret=True,
+    )
+    for i in range(s):
+        ref, n1 = _accumulate_pallas_v3(
+            jnp.asarray(pts[i]), jnp.asarray(mask[i]), SCENE, LEAF, LEAF_Z,
+            block=512, interpret=True,
+        )
+        np.testing.assert_array_equal(np.asarray(got[i]), np.asarray(ref))
+        assert int(npts[i]) == int(n1) == int(mask[i].sum())
+
+
 def test_centroid_pallas_matches_table_path(rng):
     """The VMEM circumcenter kernel (interpret) == the jnp table path on
     grid-like coordinates (exact tie-break agreement)."""

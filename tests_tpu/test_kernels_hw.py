@@ -40,6 +40,24 @@ def test_v3_accumulator_hw(rng):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(got2))
 
 
+def test_v6_accumulator_hw(rng):
+    """MXU-natural EXACT kernel on hardware: bit-identical to the v3 it
+    replaces on the exact path (same digits, f32 sums integer-exact under
+    _v6_exact_n), bit-deterministic across executions."""
+    from multiple_object_tracking_lidar_tpu.ops.voxel_grid import (
+        _accumulate_pallas_v3,
+        _accumulate_pallas_v6,
+    )
+
+    pts, mask = _points(rng, 8192)
+    ref, n3 = _accumulate_pallas_v3(pts, mask, SCENE, LEAF, LEAF_Z, block=2048)
+    got, n6 = _accumulate_pallas_v6(pts, mask, SCENE, LEAF, LEAF_Z, block=2048)
+    assert int(n6) == int(n3) == int(np.asarray(mask).sum())
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+    got2, _ = _accumulate_pallas_v6(pts, mask, SCENE, LEAF, LEAF_Z, block=2048)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(got2))
+
+
 def test_v4_accumulator_hw(rng):
     """Single-digit (voxel_quant="fast") kernel on hardware: counts exact,
     centroids within the documented per-axis quantization bound,
