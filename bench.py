@@ -34,19 +34,22 @@ import numpy as np
 
 
 def _stage_frames(sc, n_pts, n_ring):
-    """Per-frame ring for bind_env, staged with PINNED standard layouts:
-    XLA assigns (N, 3) float params a transposed {0,1:T(4,128)} layout and
-    (N,) bool masks need an in-program f32 convert, costing ~77 us/frame of
-    relayout copies in front of the accumulator (trace-measured).  Staging
-    points as {1,0} and the mask pre-converted as (N, 1) f32 {1,0} lets the
-    kernel consume both parameters directly."""
+    """Per-frame ring for bind_env, staged with PINNED layouts matching what
+    the single-read accumulator kernels consume: points CHANNEL-PLANES
+    (major_to_minor (1, 0), i.e. (3, N) contiguous — the in-graph swapaxes
+    feeding the kernel's (3, N) operand is then a free bitcast) and the mask
+    pre-converted to f32 (an in-program pred->f32 convert + relayout costs
+    ~77 us/frame, trace-measured)."""
     from jax.experimental import layout
     from jax.sharding import SingleDeviceSharding
 
     from multiple_object_tracking_lidar_tpu.tracker.state import Frame
 
     dev = jax.devices()[0]
-    fmt = layout.Format(
+    fmt_pts = layout.Format(
+        layout.Layout(major_to_minor=(1, 0)), SingleDeviceSharding(dev)
+    )
+    fmt_msk = layout.Format(
         layout.Layout(major_to_minor=(0, 1)), SingleDeviceSharding(dev)
     )
     frames = []
@@ -58,8 +61,8 @@ def _stage_frames(sc, n_pts, n_ring):
         mask[: min(len(pts), n_pts)] = 1.0
         frames.append(
             Frame(
-                points=jax.device_put(jnp.asarray(buf), fmt),
-                mask=jax.device_put(jnp.asarray(mask), fmt),
+                points=jax.device_put(jnp.asarray(buf), fmt_pts),
+                mask=jax.device_put(jnp.asarray(mask), fmt_msk),
                 t=jnp.float32(t),
             )
         )
@@ -67,15 +70,15 @@ def _stage_frames(sc, n_pts, n_ring):
 
 
 def stage_stacked(frames, n_pts):
-    """Stacked Frame for bind_env_multi with PINNED standard layouts.
+    """Stacked Frame for bind_env_multi with PINNED layouts.
 
-    XLA's parameter-layout heuristic assigns (S, N, 3) float params the
-    {1,0,2} channel-planes layout; the accumulator custom call wants
-    standard {2,1,0}, and the resulting relayout copies cost ~240 us/cloud
-    on this TPU (trace-measured, docs/PERFORMANCE.md round 3).  Staging the
-    ring ONCE with an explicit major-to-minor {2,1,0} Format makes the
-    kernel consume the parameter directly — zero in-program copies.  The
-    mask is staged pre-converted as (S, N, 1) f32 for the same reason (the
+    The single-read accumulator kernels consume ONLY the channel-major
+    (S, 3, N) view, so the ring is staged CHANNEL-PLANES (major_to_minor
+    (0, 2, 1)): the in-graph swapaxes feeding the kernel is then a free
+    bitcast — zero in-program copies.  (The earlier dual-read kernels
+    wanted the row-major view too, which cost a ~9.8 MB relayout copy of
+    the ring per dispatch whichever layout was pinned; docs/PERFORMANCE.md
+    round 4.)  The mask is staged pre-converted as (S, N, 1) f32 (the
     in-program pred->f32 convert + relayout costs ~82 us/cloud)."""
     from jax.experimental import layout
     from jax.sharding import SingleDeviceSharding
@@ -83,14 +86,17 @@ def stage_stacked(frames, n_pts):
     from multiple_object_tracking_lidar_tpu.tracker.state import Frame
 
     dev = jax.devices()[0]
-    fmt = layout.Format(
+    fmt_pts = layout.Format(
+        layout.Layout(major_to_minor=(0, 2, 1)), SingleDeviceSharding(dev)
+    )
+    fmt_msk = layout.Format(
         layout.Layout(major_to_minor=(0, 1, 2)), SingleDeviceSharding(dev)
     )
     pts = np.stack([np.asarray(f.points) for f in frames])
     msk = np.stack([np.asarray(f.mask) for f in frames]).astype(np.float32)
     return Frame(
-        points=jax.device_put(jnp.asarray(pts), fmt),
-        mask=jax.device_put(jnp.asarray(msk.reshape(len(frames), n_pts, 1)), fmt),
+        points=jax.device_put(jnp.asarray(pts), fmt_pts),
+        mask=jax.device_put(jnp.asarray(msk.reshape(len(frames), n_pts, 1)), fmt_msk),
         t=jnp.stack([f.t for f in frames]),
     )
 

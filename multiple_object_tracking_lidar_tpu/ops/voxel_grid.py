@@ -1015,59 +1015,53 @@ def _v5_quant_cm(pc, *, gx, gy, gz, bx, by, bz, kx, kz, inv_xy, inv_z,
     return lin, fq, ok
 
 
-def _acc_v5_body(p_rm, p_cm, m_rm, acc_ref, lead, first, *, block, gx, gy,
+def _acc_v5_body(p_cm, m_row, acc_ref, lead, first, *, block, gx, gy,
                  gz, w1, inv_xy, inv_z, leaf_xy, leaf_z, bx, by, bz, kx, kz):
     """MXU-NATURAL single-digit histogram step (v5): same math as
-    _acc_v4_body, but both dot operands are built directly in the orientation
-    the MXU contracts natively — C[m, n] = sum_k A[m, k] B[k, n] with the lhs
-    contraction on LANES and the rhs contraction on SUBLANES.  v4 contracts
-    dim 0 of both (block, w1) x (block, 128) operands, which makes Mosaic
-    insert a sublane<->lane relayout of each operand before every dot (4
-    channels x N/block blocks per frame); trace-measured at bench shapes that
-    relayout tax — not the MACs — dominates the kernel (~24% of the whole
-    accumulate, scripts/micro_acc_v5.py).
+    _acc_v4_body, with the dot issued in an orientation Mosaic lowers
+    without per-operand relayouts.  v4 contracts dim 0 of both (block, w1)
+    x (block, 128) operands, which makes Mosaic insert a sublane<->lane
+    relayout of each operand before every dot (4 channels x N/block blocks
+    per frame); trace-measured at bench shapes that relayout tax — not the
+    MACs — dominates the kernel (~24% of the whole accumulate,
+    scripts/micro_acc_v5.py).
 
-    The trick that avoids ALL relayouts: read the SAME point block twice, once
-    row-major (B, 3) and once channel-major (3, B) (the duplicate read is
-    ~24 KB/block — noise), and quantize both.  The channel-major copy yields
-    the lhs rows natively ((4*w1, B): digit channels masked onto sublane
-    u_row), the row-major copy yields the rhs one-hot natively ((B, 128):
-    lane v per point).  All four channels stack into ONE (4*w1, B) bf16 lhs so
-    the whole block is a single MXU dot.  Digits are ints in [-127, 127]
-    (bf16-exact); accumulation is f32, integer-exact while n*127 < 2^24
-    (_v5_exact_n guards the dispatch).  Output is bit-identical to v4
-    (tests/test_grid.py::test_v5_matches_v4)."""
+    This body reads the block ONCE, channel-major (3, B): the quantize runs
+    once, the digit lhs comes out natively as (4*w1, B) bf16 (digit channels
+    masked onto sublane u_row), and the one-hot comes out natively
+    TRANSPOSED as (128, B) (sublane iota vs the lane-oriented v index) —
+    the dot contracts dim 1 of BOTH operands (lhs @ rhs^T), which Mosaic
+    lowers ~1.7x faster than building the (B, 128) rhs from an in-register
+    (1, B)->(B, 1) transpose and ~5.7x faster than the original dual-read
+    formulation whose row-major operand forced a ~9.8 MB/dispatch XLA
+    relayout copy of the point ring (scripts/micro_acc_v7.py; the earlier
+    dual-read variant is preserved there as the baseline).  Digits are ints
+    in [-127, 127] (bf16-exact); accumulation is f32, integer-exact while
+    n*127 < 2^24 (_v5_exact_n guards the dispatch).  Output is
+    bit-identical to v4 (tests/test_grid.py::test_v5_matches_v4)."""
     f32, i32 = jnp.float32, jnp.int32
     bf16 = jnp.bfloat16
     kw = dict(gx=gx, gy=gy, gz=gz, bx=bx, by=by, bz=bz, kx=kx, kz=kz,
               inv_xy=inv_xy, inv_z=inv_z, leaf_xy=leaf_xy, leaf_z=leaf_z)
     lin_c, fq_c, ok_c = _v5_quant_cm(p_cm, **kw)      # lhs rows (1/3, B)
 
-    # rhs lane index from the row-major read (bounds + NaN + external mask
-    # fold into the one-hot row: a dropped point selects NO lane, so its lhs
-    # column — whatever digits it carries — contributes nothing)
-    lane3 = jax.lax.broadcasted_iota(i32, p_rm.shape, 1)
-    inv3 = jnp.where(lane3 == 2, inv_z, inv_xy).astype(f32)
-    b3 = jnp.where(lane3 == 0, bx, jnp.where(lane3 == 1, by, bz)).astype(i32)
-    g3 = jnp.where(lane3 == 0, gx, jnp.where(lane3 == 1, gy, gz)).astype(i32)
-    i3 = jnp.floor(p_rm * inv3).astype(i32) - b3
-    ok3 = (i3 >= 0) & (i3 < g3) & (p_rm == p_rm)
-    ok_r = jnp.all(ok3, axis=1, keepdims=True) & (m_rm != 0.0)   # (B, 1)
-    lin_r = i3[:, 0:1] + gx * (i3[:, 1:2] + gy * i3[:, 2:3])
-    v_col = jnp.where(ok_r, lin_r & 127, -1)
-
-    iota_l = jax.lax.broadcasted_iota(i32, (block, 128), 1)
-    V = (v_col == iota_l).astype(bf16)                # (B, 128) rhs
+    # bounds + NaN + external mask fold into the one-hot lane index: a
+    # dropped point selects NO one-hot column, so its lhs digits — whatever
+    # they carry — contribute nothing
+    okm = ok_c & (m_row != 0.0)                       # (1, B)
+    v_row = jnp.where(okm, lin_c & 127, -1)           # (1, B)
+    iota_sub = jax.lax.broadcasted_iota(i32, (128, block), 0)
+    Vt = (iota_sub == v_row).astype(bf16)             # (128, B) rhs^T
 
     u_row = jax.lax.shift_right_arithmetic(lin_c, jnp.int32(7))  # (1, B)
     iota_s = jax.lax.broadcasted_iota(i32, (w1, block), 0)
     eq = iota_s == u_row                              # (w1, B)
-    digs = [fq_c[0:1], fq_c[1:2], fq_c[2:3], ok_c.astype(i32)]
+    digs = [fq_c[0:1], fq_c[1:2], fq_c[2:3], okm.astype(i32)]
     lhs = jnp.concatenate(
         [jnp.where(eq, d, 0).astype(bf16) for d in digs], axis=0
     )                                                 # (4*w1, B)
     acc = jax.lax.dot_general(
-        lhs, V, (((1,), (0,)), ((), ())), preferred_element_type=f32
+        lhs, Vt, (((1,), (1,)), ((), ())), preferred_element_type=f32
     ).reshape((1,) * len(lead) + (4, w1, 128))
 
     @pl.when(first)
@@ -1080,12 +1074,12 @@ def _acc_v5_body(p_rm, p_cm, m_rm, acc_ref, lead, first, *, block, gx, gy,
 
 
 def _acc_kernel_v5(
-    prm_ref, pcm_ref, msk_ref, out_ref, npts_ref, acc_ref, *, block, gx, gy,
+    pcm_ref, msk_ref, out_ref, npts_ref, acc_ref, *, block, gx, gy,
     gz, w1, inv_xy, inv_z, leaf_xy, leaf_z, bx, by, bz, kx, kz
 ):
     b = pl.program_id(0)
     _acc_v5_body(
-        prm_ref[...], pcm_ref[...], msk_ref[...], acc_ref, (), b == 0,
+        pcm_ref[...], msk_ref[...], acc_ref, (), b == 0,
         block=block, gx=gx, gy=gy, gz=gz, w1=w1, inv_xy=inv_xy, inv_z=inv_z,
         leaf_xy=leaf_xy, leaf_z=leaf_z, bx=bx, by=by, bz=bz, kx=kx, kz=kz,
     )
@@ -1108,13 +1102,13 @@ def _acc_kernel_v5(
 
 
 def _acc_kernel_v5_stacked(
-    prm_ref, pcm_ref, msk_ref, out_ref, npts_ref, acc_ref, *, block, gx, gy,
+    pcm_ref, msk_ref, out_ref, npts_ref, acc_ref, *, block, gx, gy,
     gz, w1, inv_xy, inv_z, leaf_xy, leaf_z, bx, by, bz, kx, kz
 ):
     si = pl.program_id(0)
     b = pl.program_id(1)
     _acc_v5_body(
-        prm_ref[0], pcm_ref[0], msk_ref[0], acc_ref, (0,), b == 0,
+        pcm_ref[0], msk_ref[0], acc_ref, (0,), b == 0,
         block=block, gx=gx, gy=gy, gz=gz, w1=w1, inv_xy=inv_xy, inv_z=inv_z,
         leaf_xy=leaf_xy, leaf_z=leaf_z, bx=bx, by=by, bz=bz, kx=kx, kz=kz,
     )
@@ -1177,25 +1171,26 @@ def _accumulate_pallas_v5(
 ) -> jnp.ndarray:
     """((4, n_cells) channel-major accumulator, scalar valid-point count) via
     the MXU-natural single-digit kernel — bit-identical outputs to
-    _accumulate_pallas_v4, ~24% faster at bench shapes (the per-dot operand
-    relayouts are gone; scripts/micro_acc_v5.py).  Requires
-    _v5_exact_n(N) — the caller (voxel_accumulate_onehot_cm) falls back to
-    the i32-accumulating v4 beyond that.  ``points_cm`` lets a host-staging
-    caller skip the XLA transpose."""
+    _accumulate_pallas_v4 (scripts/micro_acc_v5.py isolates the orientation
+    win; micro_acc_v7.py the single-read one).  Requires _v5_exact_n(N) —
+    the caller (voxel_accumulate_onehot_cm) falls back to the
+    i32-accumulating v4 beyond that.  The kernel reads ONLY the
+    channel-major (3, N) view; ``points_cm`` lets the caller hand it over
+    directly (when the row-major ``points`` parameter is staged
+    channel-planes — major_to_minor (1, 0) — the in-graph swapaxes is a
+    free bitcast, zero relayout copies)."""
     block = _cap_block_v5(block, points.shape[0])
     kw, n_cells, w1 = _v5_kernel_params(scene, leaf_xy, leaf_z)
     n = points.shape[0]
-    points = points.astype(jnp.float32)
     if points_cm is None:
-        points_cm = jnp.swapaxes(points, 0, 1)
+        points_cm = jnp.swapaxes(points.astype(jnp.float32), 0, 1)
 
     out, npts = pl.pallas_call(
         functools.partial(_acc_kernel_v5, block=block, **kw),
         grid=(n // block,),
         in_specs=[
-            pl.BlockSpec((block, 3), lambda b: (b, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((3, block), lambda b: (0, b), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block, 1), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block), lambda b: (0, b), memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec(
@@ -1210,9 +1205,8 @@ def _accumulate_pallas_v5(
         scratch_shapes=[pltpu.VMEM((4, w1, 128), jnp.float32)],
         interpret=interpret,
     )(
-        points,
         points_cm.astype(jnp.float32),
-        mask.astype(jnp.float32).reshape(n, 1),
+        mask.astype(jnp.float32).reshape(1, n),
     )
     return out.reshape(4, w1 * 128)[:, :n_cells], npts[0, 0]
 
@@ -1230,26 +1224,27 @@ def _accumulate_pallas_v5_stacked(
     """(S, 4, n_cells) stacked MXU-natural accumulators in ONE kernel call;
     per-frame results bit-identical to _accumulate_pallas_v4_stacked (and so
     to the per-frame v4/v5).  Drop-in for the hoisted-accumulate scan in
-    bind_env_multi."""
+    bind_env_multi.  Reads ONLY the channel-major (S, 3, N) view — when the
+    ``points`` ring is staged channel-planes (major_to_minor (0, 2, 1),
+    bench.stage_stacked) the in-graph swapaxes is a free bitcast and the
+    kernel consumes the ring with zero relayout copies (the earlier
+    dual-read formulation forced a ~9.8 MB/dispatch XLA copy of the ring,
+    ~160 us/cloud at bench shapes; scripts/micro_acc_v7.py)."""
     block = _cap_block_v5(block, points.shape[1])
     kw, n_cells, w1 = _v5_kernel_params(scene, leaf_xy, leaf_z)
     s, n = points.shape[0], points.shape[1]
-    points = points.astype(jnp.float32)
     if points_cm is None:
-        points_cm = jnp.swapaxes(points, 1, 2)
+        points_cm = jnp.swapaxes(points.astype(jnp.float32), 1, 2)
 
     out, npts = pl.pallas_call(
         functools.partial(_acc_kernel_v5_stacked, block=block, **kw),
         grid=(s, n // block),
         in_specs=[
             pl.BlockSpec(
-                (1, block, 3), lambda si, b: (si, b, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
                 (1, 3, block), lambda si, b: (si, 0, b), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, block, 1), lambda si, b: (si, b, 0), memory_space=pltpu.VMEM
+                (1, 1, block), lambda si, b: (si, 0, b), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=(
@@ -1266,9 +1261,8 @@ def _accumulate_pallas_v5_stacked(
         scratch_shapes=[pltpu.VMEM((1, 4, w1, 128), jnp.float32)],
         interpret=interpret,
     )(
-        points,
         points_cm.astype(jnp.float32),
-        mask.astype(jnp.float32).reshape(s, n, 1),
+        mask.astype(jnp.float32).reshape(s, 1, n),
     )
     return out.reshape(s, 4, w1 * 128)[:, :, :n_cells], npts[0]
 
@@ -1310,18 +1304,20 @@ def _v6_quant_cm(pc, *, gx, gy, gz, bx, by, bz, inv_xy, inv_z,
     return lin, d0, d1, ok
 
 
-def _acc_v6_body(p_rm, p_cm, m_rm, acc_ref, lead, first, *, block, gx, gy,
+def _acc_v6_body(p_cm, m_row, acc_ref, lead, first, *, block, gx, gy,
                  gz, w1, inv_xy, inv_z, leaf_xy, leaf_z, bx, by, bz):
     """MXU-NATURAL EXACT-mode histogram step: v6 = v3's two-balanced-digit
     cell-relative scheme carried in v5's relayout-free orientation.  The
     7 digit channels (x d0/d1, y d0/d1, z d0/d1, count) stack into ONE
     (7*w1, B) bf16 lhs and the whole block is a single MXU dot against the
-    (B, 128) one-hot rhs — no per-dot operand relayouts (see _acc_v5_body
-    for the orientation analysis).  Digits are ints in [-128, 128]
-    (bf16-exact); accumulation is f32, integer-exact while n*128 < 2^24
-    (_v6_exact_n guards the dispatch), so the digit sums are the same
-    exact integers v3 accumulates in i32 and the shared _v3_finalize_into
-    reconstruction is bit-identical
+    natively-transposed (128, B) one-hot — contraction over dim 1 of BOTH
+    operands, the same single-read lhs @ rhs^T form as _acc_v5_body (see
+    there for the orientation + single-read analysis;
+    scripts/micro_acc_v7.py measures the formulations).  Digits are ints
+    in [-128, 128] (bf16-exact); accumulation is f32, integer-exact while
+    n*128 < 2^24 (_v6_exact_n guards the dispatch), so the digit sums are
+    the same exact integers v3 accumulates in i32 and the shared
+    _v3_finalize_into reconstruction is bit-identical
     (tests/test_grid.py::test_v6_matches_v3)."""
     f32, i32 = jnp.float32, jnp.int32
     bf16 = jnp.bfloat16
@@ -1330,19 +1326,12 @@ def _acc_v6_body(p_rm, p_cm, m_rm, acc_ref, lead, first, *, block, gx, gy,
         inv_xy=inv_xy, inv_z=inv_z, leaf_xy=leaf_xy, leaf_z=leaf_z,
     )
 
-    # rhs lane one-hot from the row-major read; bounds + NaN + external
-    # mask fold here, so a dropped point's lhs digits contribute nothing
-    lane3 = jax.lax.broadcasted_iota(i32, p_rm.shape, 1)
-    inv3 = jnp.where(lane3 == 2, inv_z, inv_xy).astype(f32)
-    b3 = jnp.where(lane3 == 0, bx, jnp.where(lane3 == 1, by, bz)).astype(i32)
-    g3 = jnp.where(lane3 == 0, gx, jnp.where(lane3 == 1, gy, gz)).astype(i32)
-    i3 = jnp.floor(p_rm * inv3).astype(i32) - b3
-    ok3 = (i3 >= 0) & (i3 < g3) & (p_rm == p_rm)
-    ok_r = jnp.all(ok3, axis=1, keepdims=True) & (m_rm != 0.0)   # (B, 1)
-    lin_r = i3[:, 0:1] + gx * (i3[:, 1:2] + gy * i3[:, 2:3])
-    v_col = jnp.where(ok_r, lin_r & 127, -1)
-    iota_l = jax.lax.broadcasted_iota(i32, (block, 128), 1)
-    V = (v_col == iota_l).astype(bf16)                # (B, 128) rhs
+    # bounds + NaN + external mask fold into the one-hot lane index, so a
+    # dropped point's lhs digits contribute nothing
+    okm = ok_c & (m_row != 0.0)                       # (1, B)
+    v_row = jnp.where(okm, lin_c & 127, -1)           # (1, B)
+    iota_sub = jax.lax.broadcasted_iota(i32, (128, block), 0)
+    Vt = (iota_sub == v_row).astype(bf16)             # (128, B) rhs^T
 
     u_row = jax.lax.shift_right_arithmetic(lin_c, jnp.int32(7))  # (1, B)
     iota_s = jax.lax.broadcasted_iota(i32, (w1, block), 0)
@@ -1351,13 +1340,13 @@ def _acc_v6_body(p_rm, p_cm, m_rm, acc_ref, lead, first, *, block, gx, gy,
         d0_c[0:1], d1_c[0:1],
         d0_c[1:2], d1_c[1:2],
         d0_c[2:3], d1_c[2:3],
-        ok_c.astype(i32),
+        okm.astype(i32),
     ]
     lhs = jnp.concatenate(
         [jnp.where(eq, d, 0).astype(bf16) for d in digs], axis=0
     )                                                 # (7*w1, B)
     acc = jax.lax.dot_general(
-        lhs, V, (((1,), (0,)), ((), ())), preferred_element_type=f32
+        lhs, Vt, (((1,), (1,)), ((), ())), preferred_element_type=f32
     ).reshape((1,) * len(lead) + (7, w1, 128))
 
     @pl.when(first)
@@ -1370,12 +1359,12 @@ def _acc_v6_body(p_rm, p_cm, m_rm, acc_ref, lead, first, *, block, gx, gy,
 
 
 def _acc_kernel_v6(
-    prm_ref, pcm_ref, msk_ref, out_ref, npts_ref, acc_ref, *, block, gx, gy,
+    pcm_ref, msk_ref, out_ref, npts_ref, acc_ref, *, block, gx, gy,
     gz, w1, inv_xy, inv_z, leaf_xy, leaf_z, bx, by, bz
 ):
     b = pl.program_id(0)
     _acc_v6_body(
-        prm_ref[...], pcm_ref[...], msk_ref[...], acc_ref, (), b == 0,
+        pcm_ref[...], msk_ref[...], acc_ref, (), b == 0,
         block=block, gx=gx, gy=gy, gz=gz, w1=w1, inv_xy=inv_xy, inv_z=inv_z,
         leaf_xy=leaf_xy, leaf_z=leaf_z, bx=bx, by=by, bz=bz,
     )
@@ -1398,13 +1387,13 @@ def _acc_kernel_v6(
 
 
 def _acc_kernel_v6_stacked(
-    prm_ref, pcm_ref, msk_ref, out_ref, npts_ref, acc_ref, *, block, gx, gy,
+    pcm_ref, msk_ref, out_ref, npts_ref, acc_ref, *, block, gx, gy,
     gz, w1, inv_xy, inv_z, leaf_xy, leaf_z, bx, by, bz
 ):
     si = pl.program_id(0)
     b = pl.program_id(1)
     _acc_v6_body(
-        prm_ref[0], pcm_ref[0], msk_ref[0], acc_ref, (0,), b == 0,
+        pcm_ref[0], msk_ref[0], acc_ref, (0,), b == 0,
         block=block, gx=gx, gy=gy, gz=gz, w1=w1, inv_xy=inv_xy, inv_z=inv_z,
         leaf_xy=leaf_xy, leaf_z=leaf_z, bx=bx, by=by, bz=bz,
     )
@@ -1454,21 +1443,20 @@ def _accumulate_pallas_v6(
     via the MXU-natural EXACT kernel — bit-identical outputs to
     _accumulate_pallas_v3 (same two-balanced-digit quantization, same
     finalize).  Requires _v3_leaf_ok AND _v6_exact_n; the caller falls back
-    to the i32-accumulating v3 beyond either bound."""
+    to the i32-accumulating v3 beyond either bound.  Single-read: only the
+    channel-major (3, N) view is consumed (see _accumulate_pallas_v5)."""
     block = _cap_block_v5(block, points.shape[0])
     kw, n_cells, w1 = _v6_kernel_params(scene, leaf_xy, leaf_z)
     n = points.shape[0]
-    points = points.astype(jnp.float32)
     if points_cm is None:
-        points_cm = jnp.swapaxes(points, 0, 1)
+        points_cm = jnp.swapaxes(points.astype(jnp.float32), 0, 1)
 
     out, npts = pl.pallas_call(
         functools.partial(_acc_kernel_v6, block=block, **kw),
         grid=(n // block,),
         in_specs=[
-            pl.BlockSpec((block, 3), lambda b: (b, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((3, block), lambda b: (0, b), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block, 1), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block), lambda b: (0, b), memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec(
@@ -1483,9 +1471,8 @@ def _accumulate_pallas_v6(
         scratch_shapes=[pltpu.VMEM((7, w1, 128), jnp.float32)],
         interpret=interpret,
     )(
-        points,
         points_cm.astype(jnp.float32),
-        mask.astype(jnp.float32).reshape(n, 1),
+        mask.astype(jnp.float32).reshape(1, n),
     )
     return out.reshape(4, w1 * 128)[:, :n_cells], npts[0, 0]
 
@@ -1503,26 +1490,24 @@ def _accumulate_pallas_v6_stacked(
     """(S, 4, n_cells) stacked MXU-natural EXACT accumulators in ONE kernel
     call; per-frame results bit-identical to _accumulate_pallas_v3_stacked
     (and so to the per-frame v3/v6).  Drop-in for the hoisted-accumulate
-    scan in bind_env_multi's voxel_quant="exact" branch."""
+    scan in bind_env_multi's voxel_quant="exact" branch.  Single-read: only
+    the channel-major (S, 3, N) view is consumed (see
+    _accumulate_pallas_v5_stacked)."""
     block = _cap_block_v5(block, points.shape[1])
     kw, n_cells, w1 = _v6_kernel_params(scene, leaf_xy, leaf_z)
     s, n = points.shape[0], points.shape[1]
-    points = points.astype(jnp.float32)
     if points_cm is None:
-        points_cm = jnp.swapaxes(points, 1, 2)
+        points_cm = jnp.swapaxes(points.astype(jnp.float32), 1, 2)
 
     out, npts = pl.pallas_call(
         functools.partial(_acc_kernel_v6_stacked, block=block, **kw),
         grid=(s, n // block),
         in_specs=[
             pl.BlockSpec(
-                (1, block, 3), lambda si, b: (si, b, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
                 (1, 3, block), lambda si, b: (si, 0, b), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, block, 1), lambda si, b: (si, b, 0), memory_space=pltpu.VMEM
+                (1, 1, block), lambda si, b: (si, 0, b), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=(
@@ -1539,9 +1524,8 @@ def _accumulate_pallas_v6_stacked(
         scratch_shapes=[pltpu.VMEM((1, 7, w1, 128), jnp.float32)],
         interpret=interpret,
     )(
-        points,
         points_cm.astype(jnp.float32),
-        mask.astype(jnp.float32).reshape(s, n, 1),
+        mask.astype(jnp.float32).reshape(s, 1, n),
     )
     return out.reshape(s, 4, w1 * 128)[:, :, :n_cells], npts[0]
 
