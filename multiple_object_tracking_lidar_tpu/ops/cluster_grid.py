@@ -286,32 +286,40 @@ def cluster_table_grid(
     is_root = keep & (labels == idx)
     n_clusters = is_root.sum().astype(jnp.int32)
 
-    # rank roots by (size desc, index asc) — counting, not sorting
-    s_bins = max_size + 1
-    sc = jnp.where(is_root, size_of, 0)
-    Z = (
-        (sc[:, None] == jnp.arange(s_bins, dtype=jnp.int32)[None, :])
-        & is_root[:, None]
-    )
-    Zf = Z.astype(f32)
-    hist = Zf.sum(axis=0)                                      # (s_bins,)
-    greater = jnp.cumsum(hist[::-1])[::-1] - hist              # # roots larger
-    # select-style (not matmul) so integer values stay f32-exact
-    n_greater = jnp.sum(jnp.where(Z, greater[None, :], 0.0), axis=1)
-    earlier_same = jnp.sum(_excl_cumsum_2level(Zf, gx) * Zf, axis=1)
-    rank = jnp.where(is_root, (n_greater + earlier_same).astype(jnp.int32), c_max)
+    # rank roots by (size desc, index asc): pack both criteria into ONE
+    # integer key, size * P - idx (P = next pow2 >= n, so distinct cells
+    # give distinct keys and the idx tie-break orders ascending), and take
+    # jax.lax.top_k(keys, c_max).  This replaces the counting-rank chain —
+    # a (cells, max_size+1) one-hot, a size histogram + suffix sum, and a
+    # two-level exclusive cumsum over (cells, s_bins) — whose fusions were
+    # the largest cluster-table block in the step trace (~25 us/cloud at
+    # bench shapes, docs/PERFORMANCE.md round 4); top_k over one (cells,)
+    # i32 vector is cheaper than materializing any of them, and the slot
+    # data (roots, sizes, validity) falls straight out of the top entries.
+    pw = 1 << (n - 1).bit_length()
+    if max_size * pw + n >= 2**31:
+        raise ValueError(
+            f"rank key overflow: max_cluster_size={max_size} with "
+            f"{n} grid cells exceeds int32 packing"
+        )
+    keys = jnp.where(is_root, size_of * pw - idx, -1)
+    topv, topi = jax.lax.top_k(keys, c_max)
+    cluster_valid = topv >= 0
+    roots = jnp.where(cluster_valid, topi.astype(jnp.int32), 0)
+    sizes = jnp.where(cluster_valid, (topv + pw - 1) // pw, 0).astype(jnp.int32)
 
-    # per-slot root data: one-hot over the c_max output slots
-    slot = is_root & (rank < c_max)
-    R = (rank[:, None] == jnp.arange(c_max, dtype=jnp.int32)[None, :]) & slot[:, None]
-    cluster_valid = R.any(axis=0)
-    sizes = jnp.sum(jnp.where(R, size_of[:, None], 0), axis=0).astype(jnp.int32)
-    roots = jnp.sum(jnp.where(R, idx[:, None], 0), axis=0).astype(jnp.int32)
+    # per-cell rank+1 (0 = unslotted): cells compare against the c_max root
+    # ids — a (cells, c_max) one-hot instead of the rank cumsum machinery
+    slot_of = jnp.where(
+        (idx[:, None] == roots[None, :]) & cluster_valid[None, :],
+        jnp.arange(1, c_max + 1, dtype=jnp.int32)[None, :],
+        0,
+    ).sum(axis=1)
 
     # broadcast each root's rank to its members: rank grid built by the same
     # factored contraction (roots' own cell == their label), then the
     # matmul-shaped gather at every cell's label
-    Yr = Y * jnp.where(slot, rank + 1, 0).astype(jnp.bfloat16)[:, None]
+    Yr = Y * slot_of.astype(jnp.bfloat16)[:, None]
     rank_grid = jax.lax.dot_general(
         Yr, X, (((0,), (0,)), ((), ())), preferred_element_type=f32
     )                                                          # (gyz, gx)
