@@ -269,25 +269,110 @@ def _kernel_v2(mp_ref, mpt_ref, mm_ref, cm_ref, fr_ref, *, c, p):
                     )
 
 
+def _kernel_v3(mp_ref, mpt_ref, mm_ref, cnt_ref, cm_ref, fr_ref, *, c, p):
+    """_kernel_v2 with the per-slot UNCONDITIONAL prefix removed.
+
+    Trace finding (round 4, `scripts/profile_step.py`): v2 cost ~24
+    us/cloud on headline frames with 3 valid slots of 32 — the predicate
+    skipped the (P, P) slabs, but every EMPTY slot still paid its two
+    (1, P) output fills, the (1, P) mask load, and the member-count
+    reduction, all outside `@pl.when`.  v3 hoists the fills to one
+    whole-array write each and takes the member counts as an SMEM (C,)
+    i32 input (a 2 us XLA-side reduce at the call site), so an empty slot
+    costs exactly one scalar compare + branch.  Arithmetic inside the
+    predicate is byte-for-byte v2's (the count enters as f32(n_i), the
+    same exact integer v2 reduced in-kernel), so outputs are
+    bit-identical."""
+    f32 = jnp.float32
+    i32 = jnp.int32
+    sb_rows = 128 if p % 128 == 0 else p
+    n_slabs = p // sb_rows
+    rowi_s = jax.lax.broadcasted_iota(i32, (sb_rows, p), 0)
+    coli_s = jax.lax.broadcasted_iota(i32, (sb_rows, p), 1)
+    ones11 = jnp.ones((1, 1), f32)
+
+    cm_ref[...] = jnp.full((c, p), -1.0, f32)
+    fr_ref[...] = jnp.full((c, p), p, i32)
+
+    for ci in range(c):
+        n_i = cnt_ref[ci]
+
+        @pl.when(n_i > 0)
+        def _(ci=ci, n_i=n_i):
+            mm_row = mm_ref[ci : ci + 1, :]                # (1, P) f32 0/1
+            n_m = n_i.astype(f32)
+            mpt = mpt_ref[ci]                              # (3, P)
+            cnt = jnp.maximum(n_m, 1.0)
+            c_row3 = jnp.sum(mpt * mm_row, axis=1, keepdims=True) / cnt
+            pct = (mpt - c_row3) * mm_row                  # (3, P)
+            sq_row = jnp.sum(pct * pct, axis=0, keepdims=True)
+            c_row = jax.lax.dot_general(
+                ones11, c_row3, (((0,), (1,)), ((), ())),
+                preferred_element_type=f32,
+                precision=jax.lax.Precision.HIGHEST,
+            )                                              # (1, 3)
+
+            for sb in range(n_slabs):
+                base = sb * sb_rows
+
+                @pl.when(n_i > base)
+                def _(ci=ci, mm_row=mm_row, base=base, c_row=c_row,
+                      pct=pct, sq_row=sq_row):
+                    mp_s = mp_ref[ci, base : base + sb_rows, :]   # (S, 3)
+                    mm_s = mm_ref[ci : ci + 1, base : base + sb_rows]
+                    mmcol_s = jax.lax.dot_general(
+                        mm_s, ones11, (((0,), (0,)), ((), ())),
+                        preferred_element_type=f32,
+                    )                                             # (S, 1)
+                    pc_s = (mp_s - c_row) * mmcol_s               # (S, 3)
+                    sq_col_s = jnp.sum(pc_s * pc_s, axis=1, keepdims=True)
+                    gram_s = jax.lax.dot_general(
+                        pc_s, pct, (((1,), (0,)), ((), ())),
+                        preferred_element_type=f32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )                                             # (S, P)
+                    d2 = sq_col_s + sq_row - 2.0 * gram_s
+                    ri = rowi_s + base
+                    pair_ok = (
+                        (mmcol_s > 0.0) & (mm_row > 0.0) & (ri < coli_s)
+                    )
+                    d2m = jnp.where(pair_ok, d2, -1.0)
+                    cm_s = jnp.max(d2m, axis=0, keepdims=True)    # (1, P)
+                    fr_s = jnp.min(
+                        jnp.where(d2m == cm_s, ri, p), axis=0, keepdims=True
+                    )
+                    cm_old = cm_ref[ci : ci + 1, :]
+                    fr_old = fr_ref[ci : ci + 1, :]
+                    cm_ref[ci : ci + 1, :] = jnp.maximum(cm_old, cm_s)
+                    fr_ref[ci : ci + 1, :] = jnp.where(
+                        cm_s > cm_old,
+                        fr_s,
+                        jnp.where(cm_s == cm_old, jnp.minimum(fr_old, fr_s), fr_old),
+                    )
+
+
 def pair_stats_pallas(
     mpts: jax.Array,         # (C, P, 3) f32 member table
     member_mask: jax.Array,  # (C, P) bool
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """((C, P) colmax f32, (C, P) firstrow i32) farthest-pair statistics
-    via the predicated kernel (see _kernel_v2).  Whole problem
-    VMEM-resident, one grid step."""
+    via the predicated kernel (see _kernel_v3).  Whole problem
+    VMEM-resident, one grid step; member counts ride in SMEM so empty
+    slots cost one scalar branch."""
     c, p, _ = mpts.shape
     mpts = mpts.astype(jnp.float32)
     mpt_t = jnp.swapaxes(mpts, 1, 2)                       # (C, 3, P)
     mm = member_mask.astype(jnp.float32)                   # (C, P)
+    cnt = jnp.sum(member_mask, axis=1, dtype=jnp.int32)    # (C,)
 
     return pl.pallas_call(
-        functools.partial(_kernel_v2, c=c, p=p),
+        functools.partial(_kernel_v3, c=c, p=p),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=(
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -298,7 +383,7 @@ def pair_stats_pallas(
             jax.ShapeDtypeStruct((c, p), jnp.int32),
         ),
         interpret=interpret,
-    )(mpts, mpt_t, mm)
+    )(mpts, mpt_t, mm, cnt)
 
 
 def circumcenter_features_table_pallas_v2(
