@@ -176,10 +176,68 @@ def voxel_accumulate_onehot_cm(
         & (ix >= 0) & (ix < gx)
         & (iy >= 0) & (iy < gy)
         & (iz >= 0) & (iz < gz)
+        # NaN coords drop here, matching the kernels — the f32->i32 cast of
+        # NaN is implementation-defined and can land in bounds
+        & jnp.all(points == points, axis=1)
     )
     # invalid points select no one-hot column -> contribute nothing
     ix = jnp.where(in_bounds, ix, -1)
     iyz = jnp.where(in_bounds, iy + gy * iz, -1)
+
+    if quant == "fast":
+        # Single-digit (v4/v5) scheme in the jnp lowering: precision mode is
+        # a CONFIG property, not an artifact of which backend or shard tiling
+        # the dispatch landed on (VERDICT r4 #2).  Same f32 quantize/digit
+        # products as _acc_v4_body, exact i32 one-hot accumulation, and the
+        # same f32 finalize products as _v4_finalize_into — outputs are
+        # bit-identical to the v4/v5 kernels for identical inputs
+        # (tests/test_grid.py::test_jnp_fast_matches_kernel).
+        f32, i32 = jnp.float32, jnp.int32
+        kx, kz = _v4_shifts(leaf_xy, leaf_z)
+        p32 = points.astype(f32)
+        okf = in_bounds                               # NaN already dropped
+        ixm = ix
+        iyzm = iyz
+        leafv = jnp.stack(
+            [f32(leaf_xy), f32(leaf_xy), f32(leaf_z)]
+        )[None, :]
+        sv = jnp.stack([f32(2.0**kx), f32(2.0**kx), f32(2.0**kz)])[None, :]
+        iabs = jnp.stack([ix + bx, iy + by, iz + bz], axis=1).astype(f32)
+        cell0 = iabs * leafv                          # same product as recon
+        frac = p32 - cell0 - 0.5 * leafv
+        fq = jnp.round(jnp.where(okf[:, None], frac, 0.0) * sv).astype(i32)
+        fq = jnp.clip(fq, -127, 127)
+
+        Xi = (ixm[:, None] == jnp.arange(gx, dtype=i32)[None, :]).astype(jnp.int8)
+        Yi = (iyzm[:, None] == jnp.arange(gyz, dtype=i32)[None, :]).astype(jnp.int8)
+        digs = jnp.concatenate([fq, okf[:, None].astype(i32)], axis=1)  # (N, 4)
+        XC = (
+            Xi[:, None, :].astype(i32) * digs[:, :, None]
+        ).astype(jnp.int8).reshape(points.shape[0], 4 * gx)
+        S = jax.lax.dot_general(
+            Yi, XC, (((0,), (0,)), ((), ())), preferred_element_type=i32
+        ).reshape(gyz, 4, gx)                         # exact integer sums
+        s_x = jnp.moveaxis(S, 1, 0).reshape(4, gyz * gx).astype(f32)
+
+        lin = jnp.arange(gyz * gx, dtype=i32)
+        ix_c = lin % gx
+        iyz_c = lin // gx
+        iy_c = iyz_c % gy
+        iz_c = iyz_c // gy
+        cx = (bx + ix_c).astype(f32) * f32(leaf_xy)
+        cy = (by + iy_c).astype(f32) * f32(leaf_xy)
+        cz = (bz + iz_c).astype(f32) * f32(leaf_z)
+        cnt = s_x[3]
+        acc = jnp.stack(
+            [
+                cnt * (cx + f32(0.5 * leaf_xy)) + s_x[0] * f32(2.0**-kx),
+                cnt * (cy + f32(0.5 * leaf_xy)) + s_x[1] * f32(2.0**-kx),
+                cnt * (cz + f32(0.5 * leaf_z)) + s_x[2] * f32(2.0**-kz),
+                cnt,
+            ],
+            axis=0,
+        ).astype(points.dtype)
+        return (acc, maskb.sum()) if with_npts else acc
 
     if points.dtype == jnp.float64:
         # f64 mode (CPU parity tests): plain f64 one-hot contraction, exact
@@ -1528,6 +1586,353 @@ def _accumulate_pallas_v6_stacked(
         mask.astype(jnp.float32).reshape(s, 1, n),
     )
     return out.reshape(s, 4, w1 * 128)[:, :, :n_cells], npts[0]
+
+
+def _acc_kernel_v5_stacked_raw(
+    pcm_ref, msk_ref, out_ref, npts_ref, *, block, gx, gy,
+    gz, w1, inv_xy, inv_z, leaf_xy, leaf_z, bx, by, bz, kx, kz
+):
+    """v5 stacked WITHOUT in-kernel finalize: emits the raw (4, w1, 128) f32
+    digit accumulator per frame.  Space-sharded deployments psum the exact
+    integer digit sums and finalize ONCE (finalize_fast_digits) — psumming
+    finalized grids would reassociate the f32 finalize rounding and make
+    results depend on the shard factor (VERDICT r4 #2)."""
+    si = pl.program_id(0)
+    b = pl.program_id(1)
+    _acc_v5_body(
+        pcm_ref[0], msk_ref[0], out_ref, (0,), b == 0,
+        block=block, gx=gx, gy=gy, gz=gz, w1=w1, inv_xy=inv_xy, inv_z=inv_z,
+        leaf_xy=leaf_xy, leaf_z=leaf_z, bx=bx, by=by, bz=bz, kx=kx, kz=kz,
+    )
+    blk = jnp.sum((msk_ref[0] != 0.0).astype(jnp.int32))
+
+    @pl.when(b == 0)
+    def _():
+        npts_ref[0, si] = blk
+
+    @pl.when(b > 0)
+    def _():
+        npts_ref[0, si] = npts_ref[0, si] + blk
+
+
+def _acc_kernel_v6_stacked_raw(
+    pcm_ref, msk_ref, out_ref, npts_ref, *, block, gx, gy,
+    gz, w1, inv_xy, inv_z, leaf_xy, leaf_z, bx, by, bz
+):
+    """v6 stacked without in-kernel finalize: raw (7, w1, 128) f32 digit
+    accumulator per frame (see _acc_kernel_v5_stacked_raw)."""
+    si = pl.program_id(0)
+    b = pl.program_id(1)
+    _acc_v6_body(
+        pcm_ref[0], msk_ref[0], out_ref, (0,), b == 0,
+        block=block, gx=gx, gy=gy, gz=gz, w1=w1, inv_xy=inv_xy, inv_z=inv_z,
+        leaf_xy=leaf_xy, leaf_z=leaf_z, bx=bx, by=by, bz=bz,
+    )
+    blk = jnp.sum((msk_ref[0] != 0.0).astype(jnp.int32))
+
+    @pl.when(b == 0)
+    def _():
+        npts_ref[0, si] = blk
+
+    @pl.when(b > 0)
+    def _():
+        npts_ref[0, si] = npts_ref[0, si] + blk
+
+
+def _accumulate_pallas_v5_stacked_raw(
+    points, mask, scene, leaf_xy, leaf_z, block,
+    interpret: bool = False, points_cm=None,
+):
+    """((S, 4, w1, 128) raw f32 digit sums, (S,) counts) — the stacked v5
+    accumulate WITHOUT finalize.  Exact integers while n*127 < 2^24 over the
+    GLOBAL point count (psum included); finalize_fast_digits reconstructs the
+    (S, 4, n_cells) accumulator bit-identically to the in-kernel finalize."""
+    block = _cap_block_v5(block, points.shape[1])
+    kw, n_cells, w1 = _v5_kernel_params(scene, leaf_xy, leaf_z)
+    s, n = points.shape[0], points.shape[1]
+    if points_cm is None:
+        points_cm = jnp.swapaxes(points.astype(jnp.float32), 1, 2)
+
+    out, npts = pl.pallas_call(
+        functools.partial(_acc_kernel_v5_stacked_raw, block=block, **kw),
+        grid=(s, n // block),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 3, block), lambda si, b: (si, 0, b), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, block), lambda si, b: (si, 0, b), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (1, 4, w1, 128), lambda si, b: (si, 0, 0, 0),
+                memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((1, s), lambda si, b: (0, 0), memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((s, 4, w1, 128), jnp.float32),
+            jax.ShapeDtypeStruct((1, s), jnp.int32),
+        ),
+        interpret=interpret,
+    )(
+        points_cm.astype(jnp.float32),
+        mask.astype(jnp.float32).reshape(s, 1, n),
+    )
+    return out, npts[0]
+
+
+def _accumulate_pallas_v6_stacked_raw(
+    points, mask, scene, leaf_xy, leaf_z, block,
+    interpret: bool = False, points_cm=None,
+):
+    """((S, 7, w1, 128) raw f32 digit sums, (S,) counts) — stacked v6 without
+    finalize (exact integers while n*128 < 2^24 globally); see
+    finalize_exact_digits."""
+    block = _cap_block_v5(block, points.shape[1])
+    kw, n_cells, w1 = _v6_kernel_params(scene, leaf_xy, leaf_z)
+    s, n = points.shape[0], points.shape[1]
+    if points_cm is None:
+        points_cm = jnp.swapaxes(points.astype(jnp.float32), 1, 2)
+
+    out, npts = pl.pallas_call(
+        functools.partial(_acc_kernel_v6_stacked_raw, block=block, **kw),
+        grid=(s, n // block),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 3, block), lambda si, b: (si, 0, b), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, block), lambda si, b: (si, 0, b), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (1, 7, w1, 128), lambda si, b: (si, 0, 0, 0),
+                memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((1, s), lambda si, b: (0, 0), memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((s, 7, w1, 128), jnp.float32),
+            jax.ShapeDtypeStruct((1, s), jnp.int32),
+        ),
+        interpret=interpret,
+    )(
+        points_cm.astype(jnp.float32),
+        mask.astype(jnp.float32).reshape(s, 1, n),
+    )
+    return out, npts[0]
+
+
+def _acc_kernel_v4_stacked_raw(
+    pts_ref, msk_ref, out_ref, npts_ref, *, block, gx, gy, gz, w1,
+    inv_xy, inv_z, leaf_xy, leaf_z, bx, by, bz, kx, kz
+):
+    """v4 stacked without finalize: raw (4, w1, 128) i32 digit accumulator
+    per frame (exact at ANY point count — i32 psum; the beyond-bound
+    fallback of the raw v5)."""
+    si = pl.program_id(0)
+    b = pl.program_id(1)
+    _acc_v4_body(
+        pts_ref[0], msk_ref[0], out_ref, (0,), b == 0,
+        block=block, gx=gx, gy=gy, gz=gz, w1=w1, inv_xy=inv_xy, inv_z=inv_z,
+        leaf_xy=leaf_xy, leaf_z=leaf_z, bx=bx, by=by, bz=bz, kx=kx, kz=kz,
+    )
+    blk = jnp.sum((msk_ref[0] != 0.0).astype(jnp.int32))
+
+    @pl.when(b == 0)
+    def _():
+        npts_ref[0, si] = blk
+
+    @pl.when(b > 0)
+    def _():
+        npts_ref[0, si] = npts_ref[0, si] + blk
+
+
+def _acc_kernel_v3_stacked_raw(
+    pts_ref, msk_ref, out_ref, npts_ref, *, block, gx, gy, gz, gyz, w1,
+    inv_xy, inv_z, leaf_xy, leaf_z, bx, by, bz
+):
+    """v3 stacked without finalize: raw (7, w1, 128) i32 digit accumulator
+    per frame (exact at any point count; beyond-bound fallback of raw v6)."""
+    si = pl.program_id(0)
+    b = pl.program_id(1)
+    _acc_v3_body(
+        pts_ref[0], msk_ref[0], out_ref, (0,), b == 0,
+        block=block, gx=gx, gy=gy, gz=gz, w1=w1, inv_xy=inv_xy, inv_z=inv_z,
+        leaf_xy=leaf_xy, leaf_z=leaf_z, bx=bx, by=by, bz=bz,
+    )
+    blk = jnp.sum((msk_ref[0] != 0.0).astype(jnp.int32))
+
+    @pl.when(b == 0)
+    def _():
+        npts_ref[0, si] = blk
+
+    @pl.when(b > 0)
+    def _():
+        npts_ref[0, si] = npts_ref[0, si] + blk
+
+
+def _accumulate_pallas_v4_stacked_raw(
+    points, mask, scene, leaf_xy, leaf_z, block, interpret: bool = False,
+):
+    """((S, 4, w1, 128) raw i32 digit sums, (S,) counts) — v4 without
+    finalize.  Bit-identical digit sums to the raw v5 (finalize with
+    finalize_fast_digits)."""
+    block = _cap_block(block, points.shape[1])
+    gx, gy, gz = grid_shape(scene, leaf_xy, leaf_z)
+    n_cells = gx * gy * gz
+    w1 = -(-n_cells // 128)
+    kx, kz = _v4_shifts(leaf_xy, leaf_z)
+    s, n = points.shape[0], points.shape[1]
+
+    out, npts = pl.pallas_call(
+        functools.partial(
+            _acc_kernel_v4_stacked_raw,
+            block=block, gx=gx, gy=gy, gz=gz, w1=w1,
+            inv_xy=float(1.0 / leaf_xy), inv_z=float(1.0 / leaf_z),
+            leaf_xy=float(leaf_xy), leaf_z=float(leaf_z),
+            bx=math.floor(scene.x_min / leaf_xy),
+            by=math.floor(scene.y_min / leaf_xy),
+            bz=math.floor(scene.z_min / leaf_z),
+            kx=kx, kz=kz,
+        ),
+        grid=(s, n // block),
+        in_specs=[
+            pl.BlockSpec(
+                (1, block, 3), lambda si, b: (si, b, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, block, 1), lambda si, b: (si, b, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (1, 4, w1, 128), lambda si, b: (si, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((1, s), lambda si, b: (0, 0), memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((s, 4, w1, 128), jnp.int32),
+            jax.ShapeDtypeStruct((1, s), jnp.int32),
+        ),
+        interpret=interpret,
+    )(
+        points.astype(jnp.float32),
+        mask.astype(jnp.float32).reshape(s, n, 1),
+    )
+    return out, npts[0]
+
+
+def _accumulate_pallas_v3_stacked_raw(
+    points, mask, scene, leaf_xy, leaf_z, block, interpret: bool = False,
+):
+    """((S, 7, w1, 128) raw i32 digit sums, (S,) counts) — v3 without
+    finalize (finalize with finalize_exact_digits)."""
+    block = _cap_block(block, points.shape[1])
+    gx, gy, gz = grid_shape(scene, leaf_xy, leaf_z)
+    n_cells = gx * gy * gz
+    w1 = -(-n_cells // 128)
+    s, n = points.shape[0], points.shape[1]
+
+    out, npts = pl.pallas_call(
+        functools.partial(
+            _acc_kernel_v3_stacked_raw,
+            block=block, gx=gx, gy=gy, gz=gz, gyz=gy * gz, w1=w1,
+            inv_xy=float(1.0 / leaf_xy), inv_z=float(1.0 / leaf_z),
+            leaf_xy=float(leaf_xy), leaf_z=float(leaf_z),
+            bx=math.floor(scene.x_min / leaf_xy),
+            by=math.floor(scene.y_min / leaf_xy),
+            bz=math.floor(scene.z_min / leaf_z),
+        ),
+        grid=(s, n // block),
+        in_specs=[
+            pl.BlockSpec(
+                (1, block, 3), lambda si, b: (si, b, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, block, 1), lambda si, b: (si, b, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (1, 7, w1, 128), lambda si, b: (si, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((1, s), lambda si, b: (0, 0), memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((s, 7, w1, 128), jnp.int32),
+            jax.ShapeDtypeStruct((1, s), jnp.int32),
+        ),
+        interpret=interpret,
+    )(
+        points.astype(jnp.float32),
+        mask.astype(jnp.float32).reshape(s, n, 1),
+    )
+    return out, npts[0]
+
+
+def _finalize_grid_coords(gx, gy, w1, scene, leaf_xy, leaf_z):
+    """The (w1, 128) cell-center planes of the in-kernel finalize, as jnp —
+    SAME integer decomposition and f32 products as _v4_finalize_into /
+    _v3_finalize_into, so downstream elementwise math is bit-identical."""
+    f32, i32 = jnp.float32, jnp.int32
+    bx = math.floor(scene.x_min / leaf_xy)
+    by = math.floor(scene.y_min / leaf_xy)
+    bz = math.floor(scene.z_min / leaf_z)
+    u = jax.lax.broadcasted_iota(i32, (w1, 128), 0)
+    v = jax.lax.broadcasted_iota(i32, (w1, 128), 1)
+    lin = 128 * u + v
+    ix = lin % gx
+    iyz = lin // gx
+    iy = iyz % gy
+    iz = iyz // gy
+    cx = (bx + ix).astype(f32) * f32(leaf_xy)
+    cy = (by + iy).astype(f32) * f32(leaf_xy)
+    cz = (bz + iz).astype(f32) * f32(leaf_z)
+    return cx, cy, cz
+
+
+def finalize_fast_digits(acc, scene, leaf_xy, leaf_z):
+    """(..., 4, w1, 128) raw single-digit sums (v4/v5 scheme) ->
+    (..., 4, n_cells) f32 accumulator, mirroring _v4_finalize_into's f32
+    ops exactly."""
+    f32 = jnp.float32
+    gx, gy, gz = grid_shape(scene, leaf_xy, leaf_z)
+    n_cells = gx * gy * gz
+    w1 = acc.shape[-2]
+    kx, kz = _v4_shifts(leaf_xy, leaf_z)
+    cx, cy, cz = _finalize_grid_coords(gx, gy, w1, scene, leaf_xy, leaf_z)
+    cnt = acc[..., 3, :, :].astype(f32)
+    sx = cnt * (cx + f32(0.5 * leaf_xy)) + acc[..., 0, :, :].astype(f32) * f32(2.0**-kx)
+    sy = cnt * (cy + f32(0.5 * leaf_xy)) + acc[..., 1, :, :].astype(f32) * f32(2.0**-kx)
+    sz = cnt * (cz + f32(0.5 * leaf_z)) + acc[..., 2, :, :].astype(f32) * f32(2.0**-kz)
+    out = jnp.stack([sx, sy, sz, cnt], axis=-3)
+    return out.reshape(out.shape[:-2] + (w1 * 128,))[..., :n_cells]
+
+
+def finalize_exact_digits(acc, scene, leaf_xy, leaf_z):
+    """(..., 7, w1, 128) raw two-digit sums (v3/v6 scheme) ->
+    (..., 4, n_cells) f32 accumulator, mirroring _v3_finalize_into's f32
+    ops exactly."""
+    f32 = jnp.float32
+    gx, gy, gz = grid_shape(scene, leaf_xy, leaf_z)
+    n_cells = gx * gy * gz
+    w1 = acc.shape[-2]
+    cx, cy, cz = _finalize_grid_coords(gx, gy, w1, scene, leaf_xy, leaf_z)
+    inv_xyq = f32(1.0 / (1 << _FXP_XY))
+    inv_zq = f32(1.0 / (1 << _FXP_Z))
+    a = acc.astype(f32)
+    cnt = a[..., 6, :, :]
+    sx = cnt * (cx + f32(0.5 * leaf_xy)) + (a[..., 0, :, :] + 256.0 * a[..., 1, :, :]) * inv_xyq
+    sy = cnt * (cy + f32(0.5 * leaf_xy)) + (a[..., 2, :, :] + 256.0 * a[..., 3, :, :]) * inv_xyq
+    sz = cnt * (cz + f32(0.5 * leaf_z)) + (a[..., 4, :, :] + 256.0 * a[..., 5, :, :]) * inv_zq
+    out = jnp.stack([sx, sy, sz, cnt], axis=-3)
+    return out.reshape(out.shape[:-2] + (w1 * 128,))[..., :n_cells]
 
 
 def _accumulate_pallas_v3_stacked(

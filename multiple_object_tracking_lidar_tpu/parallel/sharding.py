@@ -109,14 +109,16 @@ class ShardedTracker:
     # ---- kernel fleet: per-device unvmapped kernel program -----------------
     def _build_kernel_fleet(self):
         from multiple_object_tracking_lidar_tpu.ops.voxel_grid import (
-            _accumulate_pallas_v3_stacked,
-            _accumulate_pallas_v4_stacked,
-            _accumulate_pallas_v5_stacked,
-            _accumulate_pallas_v6_stacked,
+            _accumulate_pallas_v3_stacked_raw,
+            _accumulate_pallas_v4_stacked_raw,
+            _accumulate_pallas_v5_stacked_raw,
+            _accumulate_pallas_v6_stacked_raw,
             _pick_block,
             _v3_leaf_ok,
             _v5_exact_n,
             _v6_exact_n,
+            finalize_exact_digits,
+            finalize_fast_digits,
             voxel_accumulate_onehot_cm,
         )
         from multiple_object_tracking_lidar_tpu.tracker.pipeline import (
@@ -130,47 +132,66 @@ class ShardedTracker:
         cfg = dataclasses.replace(self.tracker.config, assoc_cond_branch=False)
         gains_xy = self.tracker.gains_xy
         leaf, leaf_z = cfg.voxel_leaf_size, cfg.leaf_z
-        if cfg.voxel_quant == "fast":
-            stacked_acc = _accumulate_pallas_v4_stacked
-            fast = True
-        elif _v3_leaf_ok(leaf, leaf_z):
-            stacked_acc = _accumulate_pallas_v3_stacked
-            fast = False
-        else:
-            stacked_acc = None
-            fast = False
+        fast = cfg.voxel_quant == "fast"
+        # exact mode at a leaf beyond the v3 digit bound has no stacked
+        # digit kernel (v2 bf16x3 scheme only)
+        have_stacked = fast or _v3_leaf_ok(leaf, leaf_z)
 
         def local_fn(bank_state, points, mask, t, env, table):
             # points: (B_local, N_local, 3) — N sharded over "space".
             # Shapes are concrete at trace time, so the stacked-kernel block
             # choice happens here, per lowered shape.
             interpret = jax.default_backend() != "tpu"
-            n_local = points.shape[1]
-            block = _pick_block(n_local) if stacked_acc is not None else None
             ptsf = points.astype(jnp.float32)
+            if have_stacked:
+                # pad the local point shard to a block multiple so the
+                # STACKED KERNEL scheme runs at every space factor — masked
+                # pad rows contribute nothing, so numerics are invariant in
+                # n_space within a precision mode (VERDICT r4 #2; the old
+                # per-stream jnp fallback silently changed quantization)
+                pad = (-ptsf.shape[1]) % 512
+                if pad:
+                    ptsf = jnp.pad(ptsf, ((0, 0), (0, pad), (0, 0)))
+                    mask = jnp.pad(mask, ((0, 0), (0, pad)))
+            n_local = ptsf.shape[1]
+            n_space = self.mesh.shape["space"]
+            n_global = n_local * n_space
+            block = _pick_block(n_local) if have_stacked else None
             if block is not None:
-                # MXU-natural v5/v6 whenever the per-shard N keeps the f32
-                # accumulation integer-exact (bit-identical to v4/v3)
-                if fast and _v5_exact_n(n_local):
-                    acc_fn = _accumulate_pallas_v5_stacked
-                elif (
-                    stacked_acc is _accumulate_pallas_v3_stacked
-                    and _v6_exact_n(n_local)
-                ):
-                    acc_fn = _accumulate_pallas_v6_stacked
+                # Accumulate RAW digit sums per shard, psum the exact
+                # integers, finalize ONCE in jnp — psumming finalized f32
+                # grids would reassociate the finalize rounding and make
+                # results depend on the shard factor (VERDICT r4 #2).  The
+                # raw path runs at EVERY space factor (including 1) so the
+                # finalize is the same XLA subgraph in every mesh shape —
+                # fleet results are bit-identical across n_space.  The
+                # v5/v6 f32-exactness guards use the GLOBAL point count
+                # (the psum total is what must stay under 2^24).
+                if fast:
+                    raw_fn = (
+                        _accumulate_pallas_v5_stacked_raw
+                        if _v5_exact_n(n_global)
+                        else _accumulate_pallas_v4_stacked_raw
+                    )
+                    finalize = finalize_fast_digits
                 else:
-                    acc_fn = stacked_acc
-                # ONE stacked kernel call accumulates every local stream's
-                # point shard (bit-identical per frame to the single-frame
-                # kernel — tests/test_grid.py)
-                accs, n_pts = acc_fn(
+                    raw_fn = (
+                        _accumulate_pallas_v6_stacked_raw
+                        if _v6_exact_n(n_global)
+                        else _accumulate_pallas_v3_stacked_raw
+                    )
+                    finalize = finalize_exact_digits
+                raw, n_pts = raw_fn(
                     ptsf, mask, cfg.scene, leaf, leaf_z, block,
                     interpret=interpret,
                 )
+                raw = jax.lax.psum(raw, "space")
+                n_pts = jax.lax.psum(n_pts, "space")
+                accs = finalize(raw, cfg.scene, leaf, leaf_z)
             else:
-                # no block tiles N_local: per-stream accumulate inside the
-                # scan below (handled by passing accs=None sentinel is not
-                # jax-able, so accumulate here per stream, unvmapped)
+                # no stacked kernel for this config (exact mode at a leaf
+                # beyond the v3 digit bound -> v2 scheme): accumulate per
+                # stream, unvmapped
                 accs_l, n_l = [], []
                 for s in range(points.shape[0]):
                     a, n1 = voxel_accumulate_onehot_cm(
@@ -179,12 +200,11 @@ class ShardedTracker:
                     )
                     accs_l.append(a)
                     n_l.append(n1)
-                accs = jnp.stack(accs_l)
-                n_pts = jnp.stack(n_l)
-            # reconstitute the global grid: accumulation is additive over
-            # the space-sharded points; integer digit sums psum exactly
-            accs = jax.lax.psum(accs, "space")
-            n_pts = jax.lax.psum(n_pts, "space")
+                # reconstitute the global grid: accumulation is additive
+                # over the space-sharded points (f32 here — the v2 scheme
+                # is summation-order-dependent by design)
+                accs = jax.lax.psum(jnp.stack(accs_l), "space")
+                n_pts = jax.lax.psum(jnp.stack(n_l), "space")
 
             def body(_, xs):
                 s, acc, t_b, npts = xs
@@ -217,7 +237,11 @@ class ShardedTracker:
                 ),
                 out_specs=(state_spec, state_spec),
                 # pallas_call outputs carry no varying-manual-axes type; the
-                # program is manually collective-correct (one psum pair)
+                # program is manually collective-correct (one psum pair).
+                # Editing local_fn? The lowered collective set is FENCED by
+                # tests/test_parallel.py::
+                # test_kernel_fleet_collective_set_is_exactly_two_psums —
+                # keep it in sync.
                 check_vma=False,
             )
         )

@@ -241,14 +241,56 @@ def test_kernel_fleet_space_sharding_psum(fixture_map, rng):
         outs.append(jax.tree.map(np.asarray, bout))
     np.testing.assert_array_equal(outs[0].n_clusters, outs[1].n_clusters)
     np.testing.assert_array_equal(outs[0].obj_id, outs[1].obj_id)
-    # n_space=1 tiles the local N (stacked v4 kernel, quantized coords);
-    # n_space=4 leaves N_local=128 untileable, so the per-stream fallback
-    # accumulates in plain f32 — centroids agree to the v4 quantization
-    # bound (<= leaf/252 per point), not bit-exactly
-    np.testing.assert_allclose(
-        outs[0].raw_centroid, outs[1].raw_centroid, rtol=0, atol=2e-3
-    )
+    # precision mode is shard-invariant (VERDICT r4 #2): every space factor
+    # runs the same stacked-kernel quantization scheme (untileable local N
+    # is padded with masked rows), and the integer digit sums psum exactly —
+    # results are BIT-IDENTICAL across n_space, not merely close
+    np.testing.assert_array_equal(outs[0].raw_centroid, outs[1].raw_centroid)
+    np.testing.assert_array_equal(outs[0].pos, outs[1].pos)
+    np.testing.assert_array_equal(outs[0].vel, outs[1].vel)
     assert int(outs[0].n_clusters[0]) == 2
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
+def test_kernel_fleet_collective_set_is_exactly_two_psums(fixture_map):
+    """Fence for the ``check_vma=False`` waiver (parallel/sharding.py): the
+    kernel fleet runs with the varying-manual-axes checker OFF, so nothing
+    STATIC would catch a future local_fn edit that leaves cross-shard state
+    unreduced.  This test lowers the fleet program and asserts its collective
+    set is exactly the two expected psums (raw digit grids + point counts
+    over the space axis) — an edit that adds or drops a collective fails
+    loudly here."""
+    cfg = _cfg().replace(
+        voxel_mode="onehot", cluster_backend="grid", dtype="float32"
+    )
+    tracker = Tracker(cfg)
+    env = build_static_mask(fixture_map, cfg.static_tolarance, cfg.occupied_threshold)
+    b, n = 2, cfg.caps.n_max_points
+    st = ShardedTracker(tracker, make_mesh(2, 4), kernel_path="on")
+    bstate = st.init_state(b)
+    env_h, table_h = st._env_args(env)
+    lowered = st._step.lower(
+        bstate,
+        jnp.zeros((b, n, 3), jnp.float32),
+        jnp.zeros((b, n), bool),
+        jnp.zeros((b,), jnp.float32),
+        env_h,
+        table_h,
+    )
+    txt = lowered.as_text()
+    n_all_reduce = txt.count("all_reduce") + txt.count("all-reduce")
+    assert n_all_reduce == 2, (
+        f"kernel fleet must lower to EXACTLY 2 all-reduces (raw digit psum + "
+        f"count psum over 'space'); got {n_all_reduce} — if you changed "
+        "local_fn, re-verify its manual collectives and update this fence"
+    )
+    for op in (
+        "all_gather", "all-gather",
+        "all_to_all", "all-to-all",
+        "collective_permute", "collective-permute",
+        "reduce_scatter", "reduce-scatter",
+    ):
+        assert op not in txt, f"unexpected collective {op} in the fleet program"
 
 
 def test_kernel_path_on_rejects_non_kernel_config():

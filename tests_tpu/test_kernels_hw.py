@@ -58,6 +58,53 @@ def test_v6_accumulator_hw(rng):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(got2))
 
 
+def test_v5_accumulator_hw(rng):
+    """MXU-natural FAST kernel on hardware — the kernel the library default
+    executes on single-frame dispatches (VERDICT r4 #8): bit-identical to
+    the v4 it replaces (same single-digit quantization, f32 sums integer-
+    exact under _v5_exact_n), bit-deterministic across executions."""
+    from multiple_object_tracking_lidar_tpu.ops.voxel_grid import (
+        _accumulate_pallas_v4,
+        _accumulate_pallas_v5,
+    )
+
+    pts, mask = _points(rng, 8192)
+    ref, n4 = _accumulate_pallas_v4(pts, mask, SCENE, LEAF, LEAF_Z, block=2048)
+    got, n5 = _accumulate_pallas_v5(pts, mask, SCENE, LEAF, LEAF_Z, block=2048)
+    assert int(n5) == int(n4) == int(np.asarray(mask).sum())
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+    got2, _ = _accumulate_pallas_v5(pts, mask, SCENE, LEAF, LEAF_Z, block=2048)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(got2))
+
+
+def test_raw_stacked_fast_hw(rng):
+    """The space-sharded fleet's accumulate path on hardware: raw v5 digit
+    sums + the jnp finalize reproduce the fused stacked v5's counts and
+    integer digit sums exactly; finalized f32 sums to 1 ulp (FMA-contraction
+    freedom at the program boundary)."""
+    from multiple_object_tracking_lidar_tpu.ops.voxel_grid import (
+        _accumulate_pallas_v5_stacked,
+        _accumulate_pallas_v5_stacked_raw,
+        finalize_fast_digits,
+    )
+
+    pts0, mask0 = _points(rng, 4096)
+    pts = jnp.stack([pts0, pts0[::-1]])
+    mask = jnp.stack([mask0, mask0[::-1]])
+    fused, n_f = _accumulate_pallas_v5_stacked(
+        pts, mask, SCENE, LEAF, LEAF_Z, block=2048
+    )
+    raw, n_r = _accumulate_pallas_v5_stacked_raw(
+        pts, mask, SCENE, LEAF, LEAF_Z, block=2048
+    )
+    fin = finalize_fast_digits(raw, SCENE, LEAF, LEAF_Z)
+    np.testing.assert_array_equal(np.asarray(n_r), np.asarray(n_f))
+    np.testing.assert_array_equal(np.asarray(fin[:, 3]), np.asarray(fused[:, 3]))
+    np.testing.assert_allclose(
+        np.asarray(fin), np.asarray(fused), rtol=3e-7, atol=1e-7
+    )
+
+
 def test_v4_accumulator_hw(rng):
     """Single-digit (voxel_quant="fast") kernel on hardware: counts exact,
     centroids within the documented per-axis quantization bound,
