@@ -69,9 +69,16 @@ def cmd_run(args) -> int:
         )
 
     if getattr(args, "bag", None):
-        from multiple_object_tracking_lidar_tpu.io.bag import replay_bag
+        if args.bag.endswith(".bag"):
+            # real ROS1 v2.0 container (the reference's input artifact,
+            # ref: README.md:37-43)
+            from multiple_object_tracking_lidar_tpu.io.rosbag import read_rosbag
 
-        frames_iter = list(replay_bag(args.bag))[: args.frames]
+            frames_iter = list(read_rosbag(args.bag))[: args.frames]
+        else:
+            from multiple_object_tracking_lidar_tpu.io.bag import replay_bag
+
+            frames_iter = list(replay_bag(args.bag))[: args.frames]
     else:
         objs = [
             ScenarioObject(x0=0.0, y0=1.0, vx=0.0, vy=0.45, turn_every=8.0),
@@ -89,9 +96,14 @@ def cmd_run(args) -> int:
         frames_iter = [sc.frame(k) for k in range(args.frames)]
 
     if getattr(args, "record_bag", None):
-        from multiple_object_tracking_lidar_tpu.io.bag import record_bag
+        if args.record_bag.endswith(".bag"):
+            from multiple_object_tracking_lidar_tpu.io.rosbag import write_rosbag
 
-        record_bag(args.record_bag, frames_iter)
+            write_rosbag(args.record_bag, frames_iter)
+        else:
+            from multiple_object_tracking_lidar_tpu.io.bag import record_bag
+
+            record_bag(args.record_bag, frames_iter)
 
     trajectories: dict[int, list] = {}
     speeds: dict[int, float] = {}
@@ -233,8 +245,8 @@ def main(argv=None) -> int:
     pr.add_argument("--frames", type=int, default=100)
     pr.add_argument("--objects", type=int, default=2)
     pr.add_argument("--data-length", type=int, dest="data_length")
-    pr.add_argument("--bag", help="replay frames from an .npz bag instead of synthesizing")
-    pr.add_argument("--record-bag", dest="record_bag", help="record the frames to an .npz bag")
+    pr.add_argument("--bag", help="replay frames from a bag instead of synthesizing (.bag = ROS1 v2.0 container, anything else = npz)")
+    pr.add_argument("--record-bag", dest="record_bag", help="record the frames to a bag (.bag = ROS1 v2.0 container, anything else = npz)")
     pr.add_argument("--svg", help="write track trajectories to an SVG file")
     pr.add_argument(
         "--backend",
