@@ -34,35 +34,24 @@ import numpy as np
 
 
 def _stage_frames(sc, n_pts, n_ring):
-    """Per-frame ring for bind_env, staged with PINNED layouts matching what
-    the single-read accumulator kernels consume: points CHANNEL-PLANES
-    (major_to_minor (1, 0), i.e. (3, N) contiguous — the in-graph swapaxes
-    feeding the kernel's (3, N) operand is then a free bitcast) and the mask
-    pre-converted to f32 (an in-program pred->f32 convert + relayout costs
-    ~77 us/frame, trace-measured)."""
-    from jax.experimental import layout
-    from jax.sharding import SingleDeviceSharding
-
+    """Per-frame ring for bind_env — DEFAULT row-major layouts + flat f32
+    mask.  See stage_stacked: the round-4 pinned channel-planes staging
+    made XLA retile the operand with a same-dim-order T(8,128)->T(4,128)
+    copy at ~16 GB/s; the relayout FUSION from a plain row-major frame is
+    an order of magnitude cheaper (scripts/profile_timeline.py)."""
     from multiple_object_tracking_lidar_tpu.tracker.state import Frame
 
-    dev = jax.devices()[0]
-    fmt_pts = layout.Format(
-        layout.Layout(major_to_minor=(1, 0)), SingleDeviceSharding(dev)
-    )
-    fmt_msk = layout.Format(
-        layout.Layout(major_to_minor=(0, 1)), SingleDeviceSharding(dev)
-    )
     frames = []
     for k in range(n_ring):
         pts, t = sc.frame_arrays(k)
         buf = np.zeros((n_pts, 3), np.float32)
         buf[: len(pts)] = pts[:n_pts]
-        mask = np.zeros((n_pts, 1), np.float32)
+        mask = np.zeros(n_pts, np.float32)
         mask[: min(len(pts), n_pts)] = 1.0
         frames.append(
             Frame(
-                points=jax.device_put(jnp.asarray(buf), fmt_pts),
-                mask=jax.device_put(jnp.asarray(mask), fmt_msk),
+                points=jax.device_put(jnp.asarray(buf)),
+                mask=jax.device_put(jnp.asarray(mask)),
                 t=jnp.float32(t),
             )
         )
@@ -70,33 +59,29 @@ def _stage_frames(sc, n_pts, n_ring):
 
 
 def stage_stacked(frames, n_pts):
-    """Stacked Frame for bind_env_multi with PINNED layouts.
+    """Stacked Frame for bind_env_multi — DEFAULT row-major layouts.
 
-    The single-read accumulator kernels consume ONLY the channel-major
-    (S, 3, N) view, so the ring is staged CHANNEL-PLANES (major_to_minor
-    (0, 2, 1)): the in-graph swapaxes feeding the kernel is then a free
-    bitcast — zero in-program copies.  (The earlier dual-read kernels
-    wanted the row-major view too, which cost a ~9.8 MB relayout copy of
-    the ring per dispatch whichever layout was pinned; docs/PERFORMANCE.md
-    round 4.)  The mask is staged pre-converted as (S, N, 1) f32 (the
-    in-program pred->f32 convert + relayout costs ~82 us/cloud)."""
-    from jax.experimental import layout
-    from jax.sharding import SingleDeviceSharding
-
+    Round 4 pinned the ring CHANNEL-PLANES (major_to_minor (0, 2, 1)) so
+    the in-graph swapaxes feeding the single-read kernels would be a free
+    bitcast.  The round-5 event timeline (scripts/profile_timeline.py)
+    showed that staging to be a PESSIMIZATION: the kernel operand wants
+    the (S, 3, N) view in T(4,128) tiling, and XLA's same-dim-order
+    T(8,128)->T(4,128) retiling copy of the 9.8 MB ring runs at ~16 GB/s
+    (~595 us/dispatch, 74 us/cloud — the entire mis-attributed "state
+    prefetch window" of the round-4 table), while its relayout FUSION from
+    a plain row-major ring produces the identical operand in ~26 us.  The
+    pinned (S, N, 1) f32 mask similarly forced a 1-of-128-lanes reduce
+    (~577 us, overlapped); a flat (S, N) f32 mask converts in ~5 us.
+    So: stage row-major points + flat f32 mask and let XLA relayout."""
     from multiple_object_tracking_lidar_tpu.tracker.state import Frame
 
-    dev = jax.devices()[0]
-    fmt_pts = layout.Format(
-        layout.Layout(major_to_minor=(0, 2, 1)), SingleDeviceSharding(dev)
-    )
-    fmt_msk = layout.Format(
-        layout.Layout(major_to_minor=(0, 1, 2)), SingleDeviceSharding(dev)
-    )
-    pts = np.stack([np.asarray(f.points) for f in frames])
-    msk = np.stack([np.asarray(f.mask) for f in frames]).astype(np.float32)
+    pts = np.stack([np.asarray(f.points).reshape(n_pts, 3) for f in frames])
+    msk = np.stack(
+        [np.asarray(f.mask).reshape(n_pts) for f in frames]
+    ).astype(np.float32)
     return Frame(
-        points=jax.device_put(jnp.asarray(pts), fmt_pts),
-        mask=jax.device_put(jnp.asarray(msk.reshape(len(frames), n_pts, 1)), fmt_msk),
+        points=jax.device_put(jnp.asarray(pts)),
+        mask=jax.device_put(jnp.asarray(msk)),
         t=jnp.stack([f.t for f in frames]),
     )
 
