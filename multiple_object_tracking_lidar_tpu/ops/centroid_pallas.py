@@ -157,7 +157,7 @@ def circumcenter_xy_pallas(
     )(mpts, mpt_t, mm_r, mm_c)
 
 
-def _kernel_v2(mp_ref, mpt_ref, mm_ref, cm_ref, fr_ref, *, c, p):
+def _kernel_v3(mp_ref, mpt_ref, mm_ref, cnt_ref, cm_ref, fr_ref, *, c, p):
     """Vectorized + validity-predicated farthest-pair kernel (phase A of the
     circumcenter feature).
 
@@ -166,10 +166,16 @@ def _kernel_v2(mp_ref, mpt_ref, mm_ref, cm_ref, fr_ref, *, c, p):
     SLOWER than the XLA (C, P, P) path (99 vs 68 us).  This one computes
     ONLY the O(P^2) pair statistics, with a property XLA cannot reproduce:
     each cluster's (P, P) work runs behind a `@pl.when(any members)`
-    predicate, so empty slots cost one (1, P) reduction instead of ~10
-    passes over a (P, P) tile.  Bench headline frames have 3-4 valid slots
-    of 32 — ~90% of the pairwise work vanishes at runtime (static shapes
-    force the XLA path to pay all C slots).
+    predicate, so empty slots cost only a scalar branch (static shapes
+    force the XLA path to pay all C slots; bench headline frames have 3-4
+    valid slots of 32).  Two generations of trace findings are baked in:
+    the round-4 v2 kernel predicated the (P, P) slabs but still paid two
+    (1, P) output fills + a member-count reduction per EMPTY slot (~24
+    us/cloud); v3 hoists the fills to one whole-array write each and takes
+    the member counts as an SMEM (C,) i32 input (a 2 us XLA-side reduce at
+    the call site), so an empty slot costs exactly one scalar compare +
+    branch — outputs bit-identical to v2 (pinned on hardware,
+    tests_tpu/test_kernels_hw.py::test_centroid_v2_kernel_hw).
 
     Outputs per cluster: ``colmax[j] = max_i d2m[i, j]`` and
     ``firstrow[j] = min {i : d2m[i, j] == colmax[j]}`` (P where no pair).
@@ -188,101 +194,9 @@ def _kernel_v2(mp_ref, mpt_ref, mm_ref, cm_ref, fr_ref, *, c, p):
     i* contains the global max, so i* = min firstrow over gmax columns and
     j* = first gmax column whose firstrow == i* — identical picks on
     identical f32 values (in-cluster reduction order may differ from XLA
-    at ulp level, as for `_kernel`)."""
-    f32 = jnp.float32
-    i32 = jnp.int32
-    sb_rows = 128 if p % 128 == 0 else p
-    n_slabs = p // sb_rows
-    rowi_s = jax.lax.broadcasted_iota(i32, (sb_rows, p), 0)
-    coli_s = jax.lax.broadcasted_iota(i32, (sb_rows, p), 1)
-    ones11 = jnp.ones((1, 1), f32)
-
-    for ci in range(c):
-        mm_row = mm_ref[ci : ci + 1, :]                    # (1, P) f32 0/1
-        n_m = jnp.sum(mm_row)
-
-        cm_ref[ci : ci + 1, :] = jnp.full((1, p), -1.0, f32)
-        fr_ref[ci : ci + 1, :] = jnp.full((1, p), p, i32)
-
-        @pl.when(n_m > 0.0)
-        def _(ci=ci, mm_row=mm_row, n_m=n_m):
-            mpt = mpt_ref[ci]                              # (3, P)
-            cnt = jnp.maximum(n_m, 1.0)
-            c_row3 = jnp.sum(mpt * mm_row, axis=1, keepdims=True) / cnt  # (3,1)
-            pct = (mpt - c_row3) * mm_row                  # (3, P)
-            sq_row = jnp.sum(pct * pct, axis=0, keepdims=True)
-            # (1, 3) mean for the row-slab side via MXU transpose (value
-            # transposes do not lower in Mosaic; a (3,1)^T x (1,1) product
-            # is exact)
-            c_row = jax.lax.dot_general(
-                ones11, c_row3, (((0,), (1,)), ((), ())),
-                preferred_element_type=f32,
-                # HIGHEST: Mosaic's default matmul precision multiplies in
-                # bf16, which would round the mean on the row side while
-                # the column side (pct) uses the full-f32 mean
-                precision=jax.lax.Precision.HIGHEST,
-            )                                              # (1, 3)
-
-            # members fill the table PREFIX in ascending cell order, so rows
-            # >= n_m are all-masked: process the (P, P) matrix in row SLABS
-            # and skip slabs past the cluster size at runtime — bench
-            # clusters occupy <= 1 of 3 slabs, dense-scene ones 1-2
-            for sb in range(n_slabs):
-                base = sb * sb_rows
-
-                @pl.when(n_m > float(base))
-                def _(ci=ci, mm_row=mm_row, base=base, c_row=c_row,
-                      pct=pct, sq_row=sq_row):
-                    mp_s = mp_ref[ci, base : base + sb_rows, :]   # (S, 3)
-                    mm_s = mm_ref[ci : ci + 1, base : base + sb_rows]
-                    mmcol_s = jax.lax.dot_general(
-                        mm_s, ones11, (((0,), (0,)), ((), ())),
-                        preferred_element_type=f32,
-                    )                                             # (S, 1)
-                    pc_s = (mp_s - c_row) * mmcol_s               # (S, 3)
-                    sq_col_s = jnp.sum(pc_s * pc_s, axis=1, keepdims=True)
-                    gram_s = jax.lax.dot_general(
-                        pc_s, pct, (((1,), (0,)), ((), ())),
-                        preferred_element_type=f32,
-                        precision=jax.lax.Precision.HIGHEST,
-                    )                                             # (S, P)
-                    d2 = sq_col_s + sq_row - 2.0 * gram_s
-                    ri = rowi_s + base
-                    pair_ok = (
-                        (mmcol_s > 0.0) & (mm_row > 0.0) & (ri < coli_s)
-                    )
-                    d2m = jnp.where(pair_ok, d2, -1.0)
-                    cm_s = jnp.max(d2m, axis=0, keepdims=True)    # (1, P)
-                    fr_s = jnp.min(
-                        jnp.where(d2m == cm_s, ri, p), axis=0, keepdims=True
-                    )
-                    cm_old = cm_ref[ci : ci + 1, :]
-                    fr_old = fr_ref[ci : ci + 1, :]
-                    # slabs arrive in ascending row order: on a tie the
-                    # EARLIER slab's row wins (min), matching the unsliced
-                    # first-row-achieving-colmax semantics
-                    cm_ref[ci : ci + 1, :] = jnp.maximum(cm_old, cm_s)
-                    fr_ref[ci : ci + 1, :] = jnp.where(
-                        cm_s > cm_old,
-                        fr_s,
-                        jnp.where(cm_s == cm_old, jnp.minimum(fr_old, fr_s), fr_old),
-                    )
-
-
-def _kernel_v3(mp_ref, mpt_ref, mm_ref, cnt_ref, cm_ref, fr_ref, *, c, p):
-    """_kernel_v2 with the per-slot UNCONDITIONAL prefix removed.
-
-    Trace finding (round 4, `scripts/profile_step.py`): v2 cost ~24
-    us/cloud on headline frames with 3 valid slots of 32 — the predicate
-    skipped the (P, P) slabs, but every EMPTY slot still paid its two
-    (1, P) output fills, the (1, P) mask load, and the member-count
-    reduction, all outside `@pl.when`.  v3 hoists the fills to one
-    whole-array write each and takes the member counts as an SMEM (C,)
-    i32 input (a 2 us XLA-side reduce at the call site), so an empty slot
-    costs exactly one scalar compare + branch.  Arithmetic inside the
-    predicate is byte-for-byte v2's (the count enters as f32(n_i), the
-    same exact integer v2 reduced in-kernel), so outputs are
-    bit-identical."""
+    at ulp level, as for `_kernel`).  Slabs arrive in ascending row order,
+    so on a colmax tie the EARLIER slab's row wins (min) — matching the
+    unsliced first-row-achieving-colmax semantics."""
     f32 = jnp.float32
     i32 = jnp.int32
     sb_rows = 128 if p % 128 == 0 else p
