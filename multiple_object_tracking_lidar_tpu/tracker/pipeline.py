@@ -183,29 +183,64 @@ class Tracker:
         kernel instead pays ~90 us/frame of tiled->linear relayout copies on
         the sliced (N, 3) operand (docs/PERFORMANCE.md round 3).
 
-        ``hoist``: "auto" (hoisted body on TPU for the onehot+grid f32
-        config) | "on" (force the hoisted body — off-TPU the stacked kernel
-        runs in interpret mode, letting the CPU suite execute this exact
-        body; ADVICE r3) | "off" (always the per-frame scan)."""
+        On top of the hoisted accumulate, the full CLUSTER-TABLE perception
+        (stacked fused CC + vmapped cluster_table_grid) also runs batched
+        ahead of the scan when the kernel tail is eligible — bit-identical
+        by construction (every table output is integer-exact; see
+        _perceive_batch_tables_from_dense_acc) and ~25 us/cloud cheaper on
+        the round-5 timeline; only the circumcenter + association + filter
+        chain stays per-frame in the scan.
+
+        ``hoist``: "auto" (most-batched eligible body on TPU for the
+        onehot+grid f32 config) | "on" (force the hoisted accumulate +
+        per-frame perception scan — off-TPU the stacked kernel runs in
+        interpret mode, letting the CPU suite execute this exact body;
+        ADVICE r3) | "batch" (force the batched-perception body, interpret
+        kernels off-TPU — the CPU bit-parity suite runs this exact body) |
+        "off" (always the per-frame scan)."""
         cfg, gains = self.config, self.gains_xy
         env_dev, table_dev = self._env_args(env)
 
-        if hoist not in ("auto", "on", "off"):
+        if hoist not in ("auto", "on", "batch", "off"):
             raise ValueError(f"unknown hoist {hoist!r}")
         kernel_cfg = (
             cfg.voxel_mode == "onehot"
             and cfg.cluster_backend == "grid"
             and jnp.dtype(cfg.dtype) == jnp.float32
         )
-        if hoist == "on" and not kernel_cfg:
+        if hoist in ("on", "batch") and not kernel_cfg:
             raise ValueError(
-                "hoist='on' needs voxel_mode='onehot', cluster_backend='grid',"
-                f" dtype=float32 (got {cfg.voxel_mode!r}/"
-                f"{cfg.cluster_backend!r}/{cfg.dtype!r})"
+                f"hoist={hoist!r} needs voxel_mode='onehot', "
+                f"cluster_backend='grid', dtype=float32 (got "
+                f"{cfg.voxel_mode!r}/{cfg.cluster_backend!r}/{cfg.dtype!r})"
             )
         hoist_acc = kernel_cfg and (
-            hoist == "on" or (hoist == "auto" and jax.default_backend() == "tpu")
+            hoist in ("on", "batch")
+            or (hoist == "auto" and jax.default_backend() == "tpu")
         )
+        # batched-perception eligibility: the same conditions under which
+        # _perceive_from_dense_acc would take the fused-CC kernel path (a
+        # concrete map table, f32, VMEM-resident grid) — the batched tail is
+        # that exact kernel program stacked over frames
+        from multiple_object_tracking_lidar_tpu.ops.grid_pallas import fused_cc_fits
+        from multiple_object_tracking_lidar_tpu.ops.voxel import grid_shape
+
+        _dims = grid_shape(cfg.scene, cfg.voxel_leaf_size, cfg.leaf_z)
+        batch_tail = (
+            hoist_acc
+            and table_dev is not None
+            and fused_cc_fits(_dims[0] * _dims[1] * _dims[2])
+            and cfg.grid_cc in ("auto", "pallas")
+            and (
+                hoist == "batch"
+                or (hoist == "auto" and jax.default_backend() == "tpu")
+            )
+        )
+        if hoist == "batch" and not batch_tail:
+            raise ValueError(
+                "hoist='batch' needs a concrete map (per-cell static table) "
+                "and a grid small enough for the fused-CC kernel"
+            )
 
         if hoist_acc:
             from multiple_object_tracking_lidar_tpu.ops.voxel_grid import (
@@ -289,6 +324,25 @@ class Tracker:
                     # kernel) so the CPU suite covers it (ADVICE r3)
                     interpret=jax.default_backend() != "tpu",
                 )
+
+                if batch_tail:
+                    ctab, cc_sat, n_vox, n_dyn = (
+                        _perceive_batch_tables_from_dense_acc(
+                            accs, env_a, config=cfg, table=table_a
+                        )
+                    )
+
+                    def body(s, xs):
+                        p = _perception_from_table_row(*xs, config=cfg)
+                        return track_step(s, p, config=cfg, gains_xy=gains)
+
+                    return jax.lax.scan(
+                        body,
+                        state,
+                        _batch_table_rows(
+                            ctab, cc_sat, n_vox, n_dyn, frames.t, n_pts
+                        ),
+                    )
 
                 def body(s, xs):
                     acc, t, npts = xs
@@ -596,6 +650,131 @@ def _perceive_from_dense_acc(
         n_dynamic=dyn.sum(),
         n_clusters=ctab.n_clusters,
         cc_saturated=cc_sat.astype(jnp.int32),
+    )
+
+
+def _perceive_batch_tables_from_dense_acc(
+    accs: jax.Array,      # (S, 4, n_cells) channel-major accumulators
+    env: MapEnv,
+    *,
+    config: TrackerConfig,
+    table,
+):
+    """Frame-BATCHED dense-grid perception through the cluster table.
+
+    Perception is stateless, so everything up to the circumcenter can run
+    batched over the frame axis instead of per frame inside the tracking
+    scan.  The round-5 timeline (scripts/profile_timeline.py) showed the
+    per-frame cluster-table chain is LATENCY-bound, not FLOP-bound: ~27.5
+    us/frame across ~20 small fusions (the 5500-key top_k sort 7.4, the
+    rank/slot machinery ~8, the (96, 384) member contraction 8.8 + a 3.3 us
+    layout copy), each op too small to fill the machine.  Batched, the same
+    chain runs ONCE on (S, ...) operands — same total MACs/bytes, 1/S the
+    issue overhead.
+
+    Bit-identity with the per-frame path holds BY CONSTRUCTION, not by
+    tolerance: the stacked fused-CC kernel is pinned bit-identical per frame
+    (tests/test_grid.py::test_stacked_fused_cc_matches_per_frame), and every
+    cluster_table_grid output is integer-exact (one-hot contractions with
+    f32 accumulation below 2^24, top_k over int keys, one-nonzero-term
+    member extraction), so vmapping it cannot perturb a single bit —
+    asserted by tests/test_dispatch.py against the per-frame scan.
+
+    Returns (ctab stacked over S, cc_sat (S,) i32, n_vox (S,), n_dyn (S,));
+    the circumcenter + tracking remain per-frame in the caller's scan (the
+    circumcenter kernel's cost is its per-ACTIVE-slot serial chain, which
+    batching frames cannot shorten).
+    """
+    from multiple_object_tracking_lidar_tpu.ops.cluster_grid import cluster_table_grid
+    from multiple_object_tracking_lidar_tpu.ops.grid_pallas import (
+        fused_finalize_static_cc_stacked,
+    )
+    from multiple_object_tracking_lidar_tpu.ops.voxel import grid_shape
+
+    caps = config.caps
+    dims = grid_shape(config.scene, config.voxel_leaf_size, config.leaf_z)
+    scal = jnp.stack(
+        [
+            env.origin_x,
+            env.origin_y,
+            env.cos_nyaw,
+            env.sin_nyaw,
+            env.inv_resolution,
+            jnp.float32(config.cluster_tolerance**2),
+        ]
+    )
+    cent, dyn, labels, n_iters, cc_sat = fused_finalize_static_cc_stacked(
+        accs.astype(jnp.float32),
+        scal,
+        table.base_row,
+        table.base_col,
+        table.bits,
+        dims=dims,
+        tol=config.cluster_tolerance,
+        leaf_xy=config.voxel_leaf_size,
+        leaf_z=config.leaf_z,
+        kwin=table.k,
+        max_sweeps=None,
+        interpret=jax.default_backend() != "tpu",
+    )
+    ctab = jax.vmap(
+        lambda lab, ni, ce, dy: cluster_table_grid(
+            lab,
+            ni,
+            ce,
+            dy,
+            dims[0],
+            config.min_cluster_size,
+            config.max_cluster_size,
+            caps.c_max_clusters,
+            caps.p_max_cluster,
+        )
+    )(labels, n_iters, cent, dyn)
+    n_vox = (accs[:, 3] > 0).sum(axis=1)
+    n_dyn = dyn.sum(axis=1)
+    return ctab, cc_sat.astype(jnp.int32), n_vox, n_dyn
+
+
+def _batch_table_rows(ctab, cc_sat, n_vox, n_dyn, t, n_pts):
+    """The scan xs for a batched cluster-table stack: one row per frame (or
+    per fleet stream), consumed by _perception_from_table_row."""
+    return (
+        ctab.mpts,
+        ctab.member_mask,
+        ctab.cluster_valid,
+        ctab.n_clusters,
+        cc_sat,
+        n_vox,
+        n_dyn,
+        t,
+        n_pts,
+    )
+
+
+def _perception_from_table_row(
+    mp, mm, cv, ncl, sat, nv, nd, t, npts, *, config: TrackerConfig
+) -> Perception:
+    """One frame's Perception from its batched cluster-table row: runs the
+    predicated circumcenter kernel (whose cost is its per-ACTIVE-slot serial
+    chain — batching frames cannot shorten it, so it stays per-row) and
+    assembles the Perception the tracking scan consumes.  Shared by the
+    bind_env_multi batched body and the kernel fleet."""
+    from multiple_object_tracking_lidar_tpu.ops.centroid_pallas import (
+        circumcenter_features_table_pallas_v2,
+    )
+
+    dets = circumcenter_features_table_pallas_v2(
+        mp, mm, t, interpret=jax.default_backend() != "tpu"
+    ).astype(jnp.dtype(config.dtype))
+    return Perception(
+        dets=dets,
+        det_valid=cv,
+        t=t,
+        n_points=npts,
+        n_vox=nv,
+        n_dynamic=nd,
+        n_clusters=ncl,
+        cc_saturated=sat,
     )
 
 
