@@ -121,8 +121,13 @@ class ShardedTracker:
             finalize_fast_digits,
             voxel_accumulate_onehot_cm,
         )
+        from multiple_object_tracking_lidar_tpu.ops.grid_pallas import fused_cc_fits
+        from multiple_object_tracking_lidar_tpu.ops.voxel import grid_shape
         from multiple_object_tracking_lidar_tpu.tracker.pipeline import (
+            _batch_table_rows,
+            _perceive_batch_tables_from_dense_acc,
             _perceive_from_dense_acc,
+            _perception_from_table_row,
             track_step,
         )
 
@@ -136,6 +141,20 @@ class ShardedTracker:
         # exact mode at a leaf beyond the v3 digit bound has no stacked
         # digit kernel (v2 bf16x3 scheme only)
         have_stacked = fast or _v3_leaf_ok(leaf, leaf_z)
+        # batched cluster-table tail (round 5): perception is stateless, so
+        # the fused-CC + cluster-table chain runs ONCE batched over the
+        # device's local streams instead of per stream inside the scan —
+        # the same ~latency win the single-chip bind_env_multi batched body
+        # measured (docs/PERFORMANCE.md round 5), bit-identical per stream
+        # by construction (tests/test_dispatch.py pins the table layer).
+        # Same static eligibility as the pipeline's batch_tail; the fleet
+        # always has a concrete table (enforced in _env_args).  Both
+        # accumulate branches produce the stacked (B, 4, n_cells) grids the
+        # batched tables consume, so have_stacked is not a condition here.
+        dims = grid_shape(cfg.scene, leaf, leaf_z)
+        batch_tail = fused_cc_fits(dims[0] * dims[1] * dims[2]) and (
+            cfg.grid_cc in ("auto", "pallas")
+        )
 
         def local_fn(bank_state, points, mask, t, env, table):
             # points: (B_local, N_local, 3) — N sharded over "space".
@@ -205,6 +224,32 @@ class ShardedTracker:
                 # is summation-order-dependent by design)
                 accs = jax.lax.psum(jnp.stack(accs_l), "space")
                 n_pts = jax.lax.psum(jnp.stack(n_l), "space")
+
+            if batch_tail:
+                # batched cluster-table tail: stacked fused CC + vmapped
+                # cluster table over local streams, then the per-stream scan
+                # runs only the predicated circumcenter + association +
+                # filter chain (round 5; mirrors bind_env_multi's batched
+                # body, bit-identical per stream by construction)
+                ctab, cc_sat, n_vox, n_dyn = (
+                    _perceive_batch_tables_from_dense_acc(
+                        accs, env, config=cfg, table=table
+                    )
+                )
+
+                def body(_, xs):
+                    s = xs[0]
+                    p = _perception_from_table_row(*xs[1:], config=cfg)
+                    s2, out = track_step(s, p, config=cfg, gains_xy=gains_xy)
+                    return (), (s2, out)
+
+                _, (new_state, outs) = jax.lax.scan(
+                    body,
+                    (),
+                    (bank_state,)
+                    + _batch_table_rows(ctab, cc_sat, n_vox, n_dyn, t, n_pts),
+                )
+                return new_state, outs
 
             def body(_, xs):
                 s, acc, t_b, npts = xs

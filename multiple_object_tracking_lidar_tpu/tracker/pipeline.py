@@ -370,17 +370,16 @@ class Tracker:
         Returns ``run(state, frames_stacked) -> (state, outputs_stacked)``.
 
         On the onehot+grid TPU kernel config this DELEGATES to the
-        bind_env_multi program (hoisted stacked accumulate + per-frame scan):
-        a genuinely frame-batched perception was built and measured SLOWER —
-        the cluster-table rank machinery's ~6.6 MB/frame cumsum
-        intermediates spill to HBM in pathological layouts when batched
-        (trace: >100 us pads/slices on (8, 110, 50, 301) tensors), and the
-        per-frame kernels do not vmap (Mosaic rejects their 1-D scalar
-        outputs under batching).  The scan dispatch is the faster shape for
-        this tail on this hardware; see ops/grid_pallas.py
-        fused_finalize_static_cc_stacked for the tested frame-batched CC
-        kernel kept for future batched dispatch work.  Other configs keep
-        the two-program vmap(perceive) + scan structure."""
+        bind_env_multi program, whose hoist='auto' body since round 5 IS a
+        frame-batched perception: stacked accumulate + stacked fused-CC
+        kernel + vmapped cluster_table_grid, with only the circumcenter +
+        tracking chain per-frame in the scan (the r3-era batched attempt
+        was slower because the then-current rank machinery's ~6.6 MB/frame
+        cumsum intermediates spilled when batched; the round-4 top_k
+        formulation removed those, and the round-5 A/B measured the batched
+        tail 169.6 -> 155.4 us/cloud — scripts/micro_batch_tail.py).
+        Other configs keep the two-program vmap(perceive) + scan
+        structure."""
         cfg, gains = self.config, self.gains_xy
 
         fast = (
