@@ -157,10 +157,7 @@ def circumcenter_xy_pallas(
     )(mpts, mpt_t, mm_r, mm_c)
 
 
-def _kernel_v3(
-    mp_ref, mpt_ref, mm_ref, cnt_ref, cm_ref, fr_ref, *, c, p,
-    stacked_cnt=False,
-):
+def _kernel_v3(mp_ref, mpt_ref, mm_ref, cnt_ref, cm_ref, fr_ref, *, c, p):
     """Vectorized + validity-predicated farthest-pair kernel (phase A of the
     circumcenter feature).
 
@@ -212,11 +209,7 @@ def _kernel_v3(
     fr_ref[...] = jnp.full((c, p), p, i32)
 
     for ci in range(c):
-        # stacked_cnt: the frame-stacked wrapper passes the (S, C) counts
-        # UNBLOCKED (a Squeezed SMEM block dim trips Mosaic's last-two-dims
-        # rank check), so the body indexes the frame row itself; everything
-        # else is identical between the gridless and grid=(S,) calls.
-        n_i = cnt_ref[pl.program_id(0), ci] if stacked_cnt else cnt_ref[ci]
+        n_i = cnt_ref[ci]
 
         @pl.when(n_i > 0)
         def _(ci=ci, n_i=n_i):
@@ -302,71 +295,6 @@ def pair_stats_pallas(
         out_shape=(
             jax.ShapeDtypeStruct((c, p), jnp.float32),
             jax.ShapeDtypeStruct((c, p), jnp.int32),
-        ),
-        interpret=interpret,
-    )(mpts, mpt_t, mm, cnt)
-
-
-def pair_stats_pallas_stacked(
-    mpts: jax.Array,         # (S, C, P, 3) f32 member tables, frame-stacked
-    member_mask: jax.Array,  # (S, C, P) bool
-    interpret: bool = False,
-) -> tuple[jax.Array, jax.Array]:
-    """Frame-STACKED pair_stats_pallas: ((S, C, P) colmax f32, (S, C, P)
-    firstrow i32), one grid step per frame.
-
-    The round-5 timeline showed the per-frame kernel costs ~18.7 us inside
-    the tracking scan — mostly its per-ACTIVE-slot serial chain, which
-    frame-batching cannot shorten, but ALSO a per-call launch + its share of
-    the scan's inter-op gaps, which it can.  Pair stats depend only on the
-    (stateless) cluster table, so the batched perception prelude runs this
-    stacked variant ONCE and the scan consumes precomputed (cm, fr) rows;
-    only the knife-edge f32 selection (circumcenter_from_pair_stats) stays
-    per-frame so its arithmetic is IDENTICAL to the per-frame program.
-
-    Bit-identity with per-frame pair_stats_pallas holds by construction:
-    the leading frame axis is squeezed out by `None` block dims, so every
-    grid step executes the SAME `_kernel_v3` body on exactly the shapes the
-    per-frame call uses — the only difference is the SMEM count read
-    indexing its frame row (stacked_cnt) — pinned by tests/test_grid.py
-    (interpret) and tests_tpu on hardware."""
-    s, c, p, _ = mpts.shape
-    mpts = mpts.astype(jnp.float32)
-    mpt_t = jnp.swapaxes(mpts, 2, 3)                       # (S, C, 3, P)
-    mm = member_mask.astype(jnp.float32)                   # (S, C, P)
-    cnt = jnp.sum(member_mask, axis=2, dtype=jnp.int32)    # (S, C)
-
-    return pl.pallas_call(
-        functools.partial(_kernel_v3, c=c, p=p, stacked_cnt=True),
-        grid=(s,),
-        in_specs=[
-            pl.BlockSpec(
-                (None, c, p, 3), lambda f: (f, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (None, c, 3, p), lambda f: (f, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (None, c, p), lambda f: (f, 0, 0), memory_space=pltpu.VMEM
-            ),
-            # counts ride UNBLOCKED in SMEM (the body indexes its frame row
-            # by pl.program_id): a Squeezed SMEM block dim fails Mosaic's
-            # last-two-dims divisibility check
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec(
-                (None, c, p), lambda f: (f, 0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (None, c, p), lambda f: (f, 0, 0), memory_space=pltpu.VMEM
-            ),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((s, c, p), jnp.float32),
-            jax.ShapeDtypeStruct((s, c, p), jnp.int32),
         ),
         interpret=interpret,
     )(mpts, mpt_t, mm, cnt)

@@ -231,7 +231,7 @@ class ShardedTracker:
                 # runs only the predicated circumcenter + association +
                 # filter chain (round 5; mirrors bind_env_multi's batched
                 # body, bit-identical per stream by construction)
-                ctab, cm, fr, cc_sat, n_vox, n_dyn = (
+                ctab, cc_sat, n_vox, n_dyn = (
                     _perceive_batch_tables_from_dense_acc(
                         accs, env, config=cfg, table=table
                     )
@@ -247,9 +247,7 @@ class ShardedTracker:
                     body,
                     (),
                     (bank_state,)
-                    + _batch_table_rows(
-                        ctab, cm, fr, cc_sat, n_vox, n_dyn, t, n_pts
-                    ),
+                    + _batch_table_rows(ctab, cc_sat, n_vox, n_dyn, t, n_pts),
                 )
                 return new_state, outs
 

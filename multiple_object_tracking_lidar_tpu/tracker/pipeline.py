@@ -326,7 +326,7 @@ class Tracker:
                 )
 
                 if batch_tail:
-                    ctab, cm, fr, cc_sat, n_vox, n_dyn = (
+                    ctab, cc_sat, n_vox, n_dyn = (
                         _perceive_batch_tables_from_dense_acc(
                             accs, env_a, config=cfg, table=table_a
                         )
@@ -340,8 +340,7 @@ class Tracker:
                         body,
                         state,
                         _batch_table_rows(
-                            ctab, cm, fr, cc_sat, n_vox, n_dyn,
-                            frames.t, n_pts,
+                            ctab, cc_sat, n_vox, n_dyn, frames.t, n_pts
                         ),
                     )
 
@@ -680,19 +679,11 @@ def _perceive_batch_tables_from_dense_acc(
     member extraction), so vmapping it cannot perturb a single bit —
     asserted by tests/test_dispatch.py against the per-frame scan.
 
-    Returns (ctab stacked over S, cm (S, C, P) f32, fr (S, C, P) i32,
-    cc_sat (S,) i32, n_vox (S,), n_dyn (S,)).  The circumcenter pair-stats
-    kernel ALSO runs here, frame-stacked (grid over S, unmodified per-frame
-    body — ops.centroid_pallas.pair_stats_pallas_stacked): its serial
-    per-ACTIVE-slot chain is unchanged, but the per-frame launch and its
-    share of the scan's inter-op gaps are paid once instead of S times.
-    Only the knife-edge f32 selection (circumcenter_from_pair_stats) and
-    the tracking back-end remain per-frame in the caller's scan, keeping
-    multi's arithmetic bit-identical to step().
+    Returns (ctab stacked over S, cc_sat (S,) i32, n_vox (S,), n_dyn (S,));
+    the circumcenter + tracking remain per-frame in the caller's scan (the
+    circumcenter kernel's cost is its per-ACTIVE-slot serial chain, which
+    batching frames cannot shorten).
     """
-    from multiple_object_tracking_lidar_tpu.ops.centroid_pallas import (
-        pair_stats_pallas_stacked,
-    )
     from multiple_object_tracking_lidar_tpu.ops.cluster_grid import cluster_table_grid
     from multiple_object_tracking_lidar_tpu.ops.grid_pallas import (
         fused_finalize_static_cc_stacked,
@@ -740,22 +731,15 @@ def _perceive_batch_tables_from_dense_acc(
     )(labels, n_iters, cent, dyn)
     n_vox = (accs[:, 3] > 0).sum(axis=1)
     n_dyn = dyn.sum(axis=1)
-    cm, fr = pair_stats_pallas_stacked(
-        ctab.mpts,
-        ctab.member_mask,
-        interpret=jax.default_backend() != "tpu",
-    )
-    return ctab, cm, fr, cc_sat.astype(jnp.int32), n_vox, n_dyn
+    return ctab, cc_sat.astype(jnp.int32), n_vox, n_dyn
 
 
-def _batch_table_rows(ctab, cm, fr, cc_sat, n_vox, n_dyn, t, n_pts):
+def _batch_table_rows(ctab, cc_sat, n_vox, n_dyn, t, n_pts):
     """The scan xs for a batched cluster-table stack: one row per frame (or
     per fleet stream), consumed by _perception_from_table_row."""
     return (
         ctab.mpts,
         ctab.member_mask,
-        cm,
-        fr,
         ctab.cluster_valid,
         ctab.n_clusters,
         cc_sat,
@@ -767,21 +751,20 @@ def _batch_table_rows(ctab, cm, fr, cc_sat, n_vox, n_dyn, t, n_pts):
 
 
 def _perception_from_table_row(
-    mp, mm, cm, fr, cv, ncl, sat, nv, nd, t, npts, *, config: TrackerConfig
+    mp, mm, cv, ncl, sat, nv, nd, t, npts, *, config: TrackerConfig
 ) -> Perception:
-    """One frame's Perception from its batched cluster-table row: consumes
-    the frame's precomputed pair stats (the stacked kernel ran in the
-    batched prelude) and runs ONLY the knife-edge f32 selection + the
-    Perception assembly — the same circumcenter_from_pair_stats arithmetic
-    the per-frame step() uses, so multi stays bit-identical to it.  Shared
-    by the bind_env_multi batched body and the kernel fleet."""
-    from multiple_object_tracking_lidar_tpu.ops.centroid import (
-        circumcenter_from_pair_stats,
+    """One frame's Perception from its batched cluster-table row: runs the
+    predicated circumcenter kernel (whose cost is its per-ACTIVE-slot serial
+    chain — batching frames cannot shorten it, so it stays per-row) and
+    assembles the Perception the tracking scan consumes.  Shared by the
+    bind_env_multi batched body and the kernel fleet."""
+    from multiple_object_tracking_lidar_tpu.ops.centroid_pallas import (
+        circumcenter_features_table_pallas_v2,
     )
 
-    dets = circumcenter_from_pair_stats(cm, fr, mp, mm, t).astype(
-        jnp.dtype(config.dtype)
-    )
+    dets = circumcenter_features_table_pallas_v2(
+        mp, mm, t, interpret=jax.default_backend() != "tpu"
+    ).astype(jnp.dtype(config.dtype))
     return Perception(
         dets=dets,
         det_valid=cv,

@@ -318,13 +318,9 @@ def test_batched_perception_tables_bit_identical(fixture_map):
     dims = grid_shape(cfg.scene, cfg.voxel_leaf_size, cfg.leaf_z)
     table = get_cell_static_table(env, cfg.scene, cfg.voxel_leaf_size, *dims)
 
-    ctab, cm, fr, cc_sat, n_vox, n_dyn = _perceive_batch_tables_from_dense_acc(
+    ctab, cc_sat, n_vox, n_dyn = _perceive_batch_tables_from_dense_acc(
         accs, env, config=cfg, table=table
     )
-    from multiple_object_tracking_lidar_tpu.ops.centroid import (
-        circumcenter_from_pair_stats,
-    )
-
     for k in range(4):
         p = _perceive_from_dense_acc(
             accs[k], frames[k].t, n_pts[k], env, config=cfg, table=table
@@ -333,12 +329,6 @@ def test_batched_perception_tables_bit_identical(fixture_map):
             ctab.mpts[k], ctab.member_mask[k], frames[k].t, interpret=True
         )
         np.testing.assert_array_equal(np.asarray(p.dets), np.asarray(dets_b))
-        # the batched scan-row computation: precomputed stacked pair stats
-        # + the shared selection — bit-identical to the per-frame kernel
-        dets_row = circumcenter_from_pair_stats(
-            cm[k], fr[k], ctab.mpts[k], ctab.member_mask[k], frames[k].t
-        )
-        np.testing.assert_array_equal(np.asarray(p.dets), np.asarray(dets_row))
         np.testing.assert_array_equal(
             np.asarray(p.det_valid), np.asarray(ctab.cluster_valid[k])
         )

@@ -1113,39 +1113,6 @@ def test_centroid_pallas_v2_matches_table_path(rng):
     )
 
 
-def test_pair_stats_stacked_matches_per_frame(rng):
-    """pair_stats_pallas_stacked (interpret) == per-frame pair_stats_pallas,
-    frame by frame, BIT-for-bit — the leading frame axis is squeezed out by
-    None block dims so each grid step runs the unmodified _kernel_v3 body.
-    Covers empty slots, singletons, and the production multi-slab shape
-    (P = 384 -> three 128-row slabs)."""
-    from multiple_object_tracking_lidar_tpu.ops.centroid_pallas import (
-        pair_stats_pallas,
-        pair_stats_pallas_stacked,
-    )
-
-    r = np.random.default_rng(17)
-    s, cc, p = 4, 8, 384
-    mpts = np.zeros((s, cc, p, 3), np.float32)
-    mm = np.zeros((s, cc, p), bool)
-    for f in range(s):
-        for c in range(cc - 2):
-            n = int(r.integers(0, p))
-            mpts[f, c, :n] = np.round(r.normal(0, 1, (n, 3)) * 10) / 10
-            mm[f, c, :n] = True
-        mpts[f, cc - 2, 0] = [1.0, 2.0, 0.5]   # singleton
-        mm[f, cc - 2, 0] = True                # cc-1 stays empty
-    cm_s, fr_s = pair_stats_pallas_stacked(
-        jnp.asarray(mpts), jnp.asarray(mm), interpret=True
-    )
-    for f in range(s):
-        cm1, fr1 = pair_stats_pallas(
-            jnp.asarray(mpts[f]), jnp.asarray(mm[f]), interpret=True
-        )
-        np.testing.assert_array_equal(np.asarray(cm_s[f]), np.asarray(cm1))
-        np.testing.assert_array_equal(np.asarray(fr_s[f]), np.asarray(fr1))
-
-
 def test_stacked_fused_cc_matches_per_frame(rng, fixture_map):
     """fused_finalize_static_cc_stacked (interpret) == per-frame
     fused_finalize_static_cc, frame by frame, bit-for-bit."""

@@ -528,30 +528,3 @@ def test_multi_falls_back_on_undividable_n_hw(rng):
     assert int(om.n_points[0]) == n  # every point counted, none dropped
     np.testing.assert_array_equal(np.asarray(om.obj_id[-1]), np.asarray(o1.obj_id))
     np.testing.assert_array_equal(np.asarray(om.pos[-1]), np.asarray(o1.pos))
-
-
-def test_pair_stats_stacked_kernel_hw(rng):
-    """The frame-STACKED pair-stats kernel (grid over frames, None-squeezed
-    leading dim, unmodified _kernel_v3 body — the round-5 batched-prelude
-    variant the multi/fleet bodies execute) is BIT-identical per frame to
-    the gridless per-frame kernel on hardware."""
-    from multiple_object_tracking_lidar_tpu.ops.centroid_pallas import (
-        pair_stats_pallas,
-        pair_stats_pallas_stacked,
-    )
-
-    s, cc, p = 4, 32, 384
-    mpts = np.zeros((s, cc, p, 3), np.float32)
-    mm = np.zeros((s, cc, p), bool)
-    for f in range(s):
-        for c in range(5):
-            n = int(rng.integers(2, 300))
-            mpts[f, c, :n] = np.round(rng.normal(0, 1, (n, 3)) * 10) / 10
-            mm[f, c, :n] = True
-        mpts[f, 5, 0] = [1.0, 2.0, 0.5]  # singleton; slots 6+ stay empty
-        mm[f, 5, 0] = True
-    cm_s, fr_s = pair_stats_pallas_stacked(jnp.asarray(mpts), jnp.asarray(mm))
-    for f in range(s):
-        cm1, fr1 = pair_stats_pallas(jnp.asarray(mpts[f]), jnp.asarray(mm[f]))
-        np.testing.assert_array_equal(np.asarray(cm_s[f]), np.asarray(cm1))
-        np.testing.assert_array_equal(np.asarray(fr_s[f]), np.asarray(fr1))
