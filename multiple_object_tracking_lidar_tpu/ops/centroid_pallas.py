@@ -157,7 +157,9 @@ def circumcenter_xy_pallas(
     )(mpts, mpt_t, mm_r, mm_c)
 
 
-def _kernel_v3(mp_ref, mpt_ref, mm_ref, cnt_ref, cm_ref, fr_ref, *, c, p):
+def _kernel_v3(
+    mp_ref, mpt_ref, mm_ref, cnt_ref, cm_ref, fr_ref, *, c, p, sb_rows=None
+):
     """Vectorized + validity-predicated farthest-pair kernel (phase A of the
     circumcenter feature).
 
@@ -199,7 +201,9 @@ def _kernel_v3(mp_ref, mpt_ref, mm_ref, cnt_ref, cm_ref, fr_ref, *, c, p):
     unsliced first-row-achieving-colmax semantics."""
     f32 = jnp.float32
     i32 = jnp.int32
-    sb_rows = 128 if p % 128 == 0 else p
+    if sb_rows is None:
+        sb_rows = 128 if p % 128 == 0 else p
+    assert p % sb_rows == 0, (p, sb_rows)
     n_slabs = p // sb_rows
     rowi_s = jax.lax.broadcasted_iota(i32, (sb_rows, p), 0)
     coli_s = jax.lax.broadcasted_iota(i32, (sb_rows, p), 1)
@@ -265,15 +269,123 @@ def _kernel_v3(mp_ref, mpt_ref, mm_ref, cnt_ref, cm_ref, fr_ref, *, c, p):
                     )
 
 
+def _kernel_v5_dyn(
+    mp_ref, mpt_ref, mm_ref, cnt_ref, cm_ref, fr_ref, *, c, p, sb_rows
+):
+    """Dynamic-trip-count variant of _kernel_v3 (same per-slot arithmetic,
+    same outputs bit-for-bit).
+
+    The round-5 overhead probe (scripts/micro_pair_stats.py history,
+    docs/PERFORMANCE.md round 5) showed v3's cost is NOT the per-ACTIVE-slot
+    work (~2.3 us each) but a ~14 us FIXED floor at ZERO active slots —
+    while a stripped kernel with the same launch, output fills, and 32
+    scalar branches measures 0.9 us.  The floor scales with the number of
+    UNROLLED slot bodies: 32 copies of the vectorized pair block make a
+    large Mosaic program whose per-invocation load/fetch dominates, dead or
+    not.  This kernel emits the slot body ONCE inside a
+    `lax.fori_loop(0, bound)` where `bound` = (last slot with members) + 1,
+    computed by a scalar SMEM scan — correct for ANY activity pattern, not
+    just the rank-ordered-contiguous one the cluster table guarantees
+    (slots past `bound` keep their init values exactly as v3's skipped
+    branches; interior empty slots hit the same `n_i > 0` guard).
+
+    Dynamic-index layout rule: every ref the loop indexes by `ci` keeps
+    that axis as an UNTILED leading dim — mp (C, P, 3) and mpt (C, 3, P)
+    already do; mm/cm/fr ride as (C, 1, P) so the dynamic index never
+    touches a tiled (sublane/lane) dim.  The wrapper reshapes outputs back
+    to (C, P)."""
+    f32 = jnp.float32
+    i32 = jnp.int32
+    assert p % sb_rows == 0, (p, sb_rows)
+    n_slabs = p // sb_rows
+    rowi_s = jax.lax.broadcasted_iota(i32, (sb_rows, p), 0)
+    coli_s = jax.lax.broadcasted_iota(i32, (sb_rows, p), 1)
+    ones11 = jnp.ones((1, 1), f32)
+
+    cm_ref[...] = jnp.full((c, 1, p), -1.0, f32)
+    fr_ref[...] = jnp.full((c, 1, p), p, i32)
+
+    def last_active(i, m):
+        return jnp.where(cnt_ref[i] > 0, i + 1, m)
+
+    bound = jax.lax.fori_loop(0, c, last_active, jnp.int32(0))
+
+    def slot(ci, carry):
+        n_i = cnt_ref[ci]
+
+        @pl.when(n_i > 0)
+        def _():
+            mm_row = mm_ref[ci]                            # (1, P) f32 0/1
+            n_m = n_i.astype(f32)
+            mpt = mpt_ref[ci]                              # (3, P)
+            cnt = jnp.maximum(n_m, 1.0)
+            c_row3 = jnp.sum(mpt * mm_row, axis=1, keepdims=True) / cnt
+            pct = (mpt - c_row3) * mm_row                  # (3, P)
+            sq_row = jnp.sum(pct * pct, axis=0, keepdims=True)
+            c_row = jax.lax.dot_general(
+                ones11, c_row3, (((0,), (1,)), ((), ())),
+                preferred_element_type=f32,
+                precision=jax.lax.Precision.HIGHEST,
+            )                                              # (1, 3)
+
+            for sb in range(n_slabs):
+                base = sb * sb_rows
+
+                @pl.when(n_i > base)
+                def _(mm_row=mm_row, base=base, c_row=c_row,
+                      pct=pct, sq_row=sq_row):
+                    mp_s = mp_ref[ci, base : base + sb_rows, :]   # (S, 3)
+                    mm_s = mm_ref[ci, :, base : base + sb_rows]   # (1, S)
+                    mmcol_s = jax.lax.dot_general(
+                        mm_s, ones11, (((0,), (0,)), ((), ())),
+                        preferred_element_type=f32,
+                    )                                             # (S, 1)
+                    pc_s = (mp_s - c_row) * mmcol_s               # (S, 3)
+                    sq_col_s = jnp.sum(pc_s * pc_s, axis=1, keepdims=True)
+                    gram_s = jax.lax.dot_general(
+                        pc_s, pct, (((1,), (0,)), ((), ())),
+                        preferred_element_type=f32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )                                             # (S, P)
+                    d2 = sq_col_s + sq_row - 2.0 * gram_s
+                    ri = rowi_s + base
+                    pair_ok = (
+                        (mmcol_s > 0.0) & (mm_row > 0.0) & (ri < coli_s)
+                    )
+                    d2m = jnp.where(pair_ok, d2, -1.0)
+                    cm_s = jnp.max(d2m, axis=0, keepdims=True)    # (1, P)
+                    fr_s = jnp.min(
+                        jnp.where(d2m == cm_s, ri, p), axis=0, keepdims=True
+                    )
+                    cm_old = cm_ref[ci]                           # (1, P)
+                    fr_old = fr_ref[ci]
+                    cm_ref[ci] = jnp.maximum(cm_old, cm_s)
+                    fr_ref[ci] = jnp.where(
+                        cm_s > cm_old,
+                        fr_s,
+                        jnp.where(cm_s == cm_old, jnp.minimum(fr_old, fr_s), fr_old),
+                    )
+
+        return carry
+
+    jax.lax.fori_loop(0, bound, slot, jnp.int32(0))
+
+
 def pair_stats_pallas(
     mpts: jax.Array,         # (C, P, 3) f32 member table
     member_mask: jax.Array,  # (C, P) bool
     interpret: bool = False,
+    slab_rows: int | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """((C, P) colmax f32, (C, P) firstrow i32) farthest-pair statistics
     via the predicated kernel (see _kernel_v3).  Whole problem
     VMEM-resident, one grid step; member counts ride in SMEM so empty
-    slots cost one scalar branch."""
+    slots cost one scalar branch.
+
+    slab_rows: rows per (slab_rows, P) d2 block inside the per-slot scan;
+    None = the kernel's default policy.  Output bits are invariant to it
+    (the cross-slab max/min-tie chain == the single-pass reductions), so
+    it is purely a performance knob — see docs/PERFORMANCE.md round 5."""
     c, p, _ = mpts.shape
     mpts = mpts.astype(jnp.float32)
     mpt_t = jnp.swapaxes(mpts, 1, 2)                       # (C, 3, P)
@@ -281,7 +393,7 @@ def pair_stats_pallas(
     cnt = jnp.sum(member_mask, axis=1, dtype=jnp.int32)    # (C,)
 
     return pl.pallas_call(
-        functools.partial(_kernel_v3, c=c, p=p),
+        functools.partial(_kernel_v3, c=c, p=p, sb_rows=slab_rows),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -300,6 +412,47 @@ def pair_stats_pallas(
     )(mpts, mpt_t, mm, cnt)
 
 
+def pair_stats_pallas_dyn(
+    mpts: jax.Array,         # (C, P, 3) f32 member table
+    member_mask: jax.Array,  # (C, P) bool
+    interpret: bool = False,
+    slab_rows: int | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """pair_stats via the dynamic-trip-count kernel (_kernel_v5_dyn):
+    bit-identical outputs to pair_stats_pallas, but the slot body is
+    compiled ONCE and looped with a data-dependent bound, so the kernel's
+    cost is ~(active slots) x ~2.3 us instead of carrying a ~14 us fixed
+    floor of unrolled dead bodies (and the gap widens with C: the dense
+    scene's C=96 table pays the unrolled floor 3x)."""
+    c, p, _ = mpts.shape
+    if slab_rows is None:
+        slab_rows = p  # one pass; cluster sizes are data-dependent anyway
+    mpts = mpts.astype(jnp.float32)
+    mpt_t = jnp.swapaxes(mpts, 1, 2)                       # (C, 3, P)
+    mm = member_mask.astype(jnp.float32)[:, None, :]       # (C, 1, P)
+    cnt = jnp.sum(member_mask, axis=1, dtype=jnp.int32)    # (C,)
+
+    cm, fr = pl.pallas_call(
+        functools.partial(_kernel_v5_dyn, c=c, p=p, sb_rows=slab_rows),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((c, 1, p), jnp.float32),
+            jax.ShapeDtypeStruct((c, 1, p), jnp.int32),
+        ),
+        interpret=interpret,
+    )(mpts, mpt_t, mm, cnt)
+    return cm[:, 0, :], fr[:, 0, :]
+
+
 def circumcenter_features_table_pallas_v2(
     mpts: jax.Array,
     member_mask: jax.Array,
@@ -308,12 +461,17 @@ def circumcenter_features_table_pallas_v2(
 ) -> jax.Array:
     """Drop-in for ops.centroid.circumcenter_features_table: (C, 4)
     [x, y, 0, t] detections.  Phase A (O(P^2) pair scan) in the predicated
-    kernel; selection + line + determinant in shared jnp code."""
+    DYNAMIC-loop kernel (_kernel_v5_dyn — bit-identical to the unrolled v3,
+    ~2.8x faster at bench activity because it carries no unrolled dead slot
+    bodies); selection + line + determinant in shared jnp code."""
     from multiple_object_tracking_lidar_tpu.ops.centroid import (
         circumcenter_from_pair_stats,
     )
 
-    cm, fr = pair_stats_pallas(mpts, member_mask, interpret=interpret)
+    cm, fr = pair_stats_pallas_dyn(
+        mpts, member_mask, interpret=interpret,
+        slab_rows=128 if mpts.shape[1] % 128 == 0 else None,
+    )
     return circumcenter_from_pair_stats(cm, fr, mpts, member_mask, t)
 
 

@@ -1,18 +1,21 @@
-"""Kernel-event A/B/C for the pair-stats kernel batching strategy.
+"""Kernel-event A/B for pair-stats kernel formulations (real chip).
 
-Round-5 finding: wiring pair_stats into the batched prelude as a
-grid=(S,) stacked pallas_call REGRESSED the multi program 1247.7 ->
-1349.5 us/dispatch — the stacked kernel ran 258.2 us vs 8 x 18.7 us for
-the per-frame gridless calls (timeline r5d vs r5f), plus a 26.5 us
-relayout copy feeding it.  This script traces three formulations on the
-real chip and prints the PALLAS EVENT time (xplane device events, not
-wall) so the comparison is immune to the tunnel and to XLA-side operand
-staging differences:
+Two findings live here (xplane device events, bit-parity asserted, so
+the numbers are immune to the tunnel and to XLA-side staging):
 
-  A  8 sequential gridless pair_stats_pallas calls (the r5d scan shape)
-  B  pair_stats_pallas_stacked: grid=(S,), blocked specs (the regression)
-  C  one gridless call on the FLATTENED (S*C) slot axis — one launch,
-     one output fill, the proven whole-VMEM program shape
+1. Batching strategy (round-5 negative result, docs/PERFORMANCE.md):
+   the kernel's cost is its per-ACTIVE-slot serial chain, invariant to
+   HOW calls are batched — 8 x gridless 219.6 us vs one flattened
+   (S*C)-slot call 222.0 us; a grid=(S,) blocked form added ~7.6
+   us/step of pipeline machinery on top (280.5 us).  The stacked
+   variant was reverted; A (the scan shape) is what ships.
+
+2. Slab size: _kernel_v3 tiles each slot's (P, P) distance block into
+   (slab_rows, P) passes.  128-row slabs skip work for clusters
+   smaller than a slab, but headline clusters (~200-340 members of
+   P=384) run all 3 slabs anyway — at 3x the serial issue count.  One
+   full-P pass computes bit-identical outputs (the cross-slab
+   max/min-tie chain == single-pass reductions) from ~1/3 the ops.
 
 Usage: python scripts/micro_pair_stats.py
 """
@@ -33,7 +36,6 @@ import numpy as np
 
 from multiple_object_tracking_lidar_tpu.ops.centroid_pallas import (
     pair_stats_pallas,
-    pair_stats_pallas_stacked,
 )
 
 S, C, P = 8, 32, 384
@@ -51,26 +53,19 @@ def make_operands():
     return jnp.asarray(mpts), jnp.asarray(mm)
 
 
-@jax.jit
-def variant_a(mpts, mm):
-    outs = [pair_stats_pallas(mpts[f], mm[f]) for f in range(S)]
-    return (
-        jnp.stack([o[0] for o in outs]),
-        jnp.stack([o[1] for o in outs]),
-    )
+def make_variant(slab_rows):
+    @jax.jit
+    def fn(mpts, mm):
+        outs = [
+            pair_stats_pallas(mpts[f], mm[f], slab_rows=slab_rows)
+            for f in range(S)
+        ]
+        return (
+            jnp.stack([o[0] for o in outs]),
+            jnp.stack([o[1] for o in outs]),
+        )
 
-
-@jax.jit
-def variant_b(mpts, mm):
-    return pair_stats_pallas_stacked(mpts, mm)
-
-
-@jax.jit
-def variant_c(mpts, mm):
-    cm, fr = pair_stats_pallas(
-        mpts.reshape(S * C, P, 3), mm.reshape(S * C, P)
-    )
-    return cm.reshape(S, C, P), fr.reshape(S, C, P)
+    return fn
 
 
 def device_events(fn, mpts, mm, tag):
@@ -86,7 +81,7 @@ def device_events(fn, mpts, mm, tag):
 
     from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
-    total_pallas_ps = 0
+    total_kernel_ps = 0
     total_other_ps = 0
     n_execs = 0
     for path in glob.glob(f"{logdir}/**/*.xplane.pb", recursive=True):
@@ -105,34 +100,34 @@ def device_events(fn, mpts, mm, tag):
                     continue
                 for ev in line.events:
                     name = meta[ev.metadata_id].name
-                    if "custom-call" in name or any(
-                        k in name
-                        for k in ("closed_call", "pair", "multi", "pallas")
+                    # pallas calls carry the jit function's name or
+                    # closed_call/custom-call markers depending on how
+                    # XLA names them — match on custom-call presence in
+                    # the HLO text instead of guessing
+                    if "custom-call" in name or "closed_call" in name or (
+                        "fn" in name and "fusion" not in name
                     ):
-                        total_pallas_ps += ev.duration_ps
+                        total_kernel_ps += ev.duration_ps
                     else:
                         total_other_ps += ev.duration_ps
     n = max(n_execs, 1)
-    return total_pallas_ps / n / 1e6, total_other_ps / n / 1e6
+    return total_kernel_ps / n / 1e6, total_other_ps / n / 1e6
 
 
 def main() -> None:
     mpts, mm = make_operands()
-    ra = variant_a(mpts, mm)
-    rb = variant_b(mpts, mm)
-    rc = variant_c(mpts, mm)
-    np.testing.assert_array_equal(np.asarray(ra[0]), np.asarray(rb[0]))
-    np.testing.assert_array_equal(np.asarray(ra[1]), np.asarray(rb[1]))
-    np.testing.assert_array_equal(np.asarray(ra[0]), np.asarray(rc[0]))
-    np.testing.assert_array_equal(np.asarray(ra[1]), np.asarray(rc[1]))
-    print("bit-parity A==B==C ok", flush=True)
+    f128 = make_variant(128)
+    ffull = make_variant(P)
+    r128 = f128(mpts, mm)
+    rfull = ffull(mpts, mm)
+    np.testing.assert_array_equal(np.asarray(r128[0]), np.asarray(rfull[0]))
+    np.testing.assert_array_equal(np.asarray(r128[1]), np.asarray(rfull[1]))
+    print("bit-parity slab128 == slabP ok", flush=True)
 
-    for tag, fn in (("A_8x_gridless", variant_a),
-                    ("B_stacked_grid", variant_b),
-                    ("C_flattened", variant_c)):
+    for tag, fn in (("slab128", f128), ("slabP", ffull)):
         k_us, o_us = device_events(fn, mpts, mm, tag)
         print(
-            f'{{"variant": "{tag}", "pallas_us_per_dispatch": {k_us:.1f}, '
+            f'{{"variant": "{tag}", "kernel_us_per_dispatch_8f": {k_us:.1f}, '
             f'"xla_side_us": {o_us:.1f}}}',
             flush=True,
         )

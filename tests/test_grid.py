@@ -1113,6 +1113,42 @@ def test_centroid_pallas_v2_matches_table_path(rng):
     )
 
 
+def test_pair_stats_dyn_matches_unrolled(rng):
+    """The dynamic-trip-count pair-stats kernel (_kernel_v5_dyn, interpret)
+    == the unrolled _kernel_v3, BIT-for-bit, at every slab setting and
+    across activity patterns: contiguous rank-ordered slots (the cluster
+    table's guarantee), interior empty slots, all-empty, singletons, and
+    the production multi-slab shape."""
+    from multiple_object_tracking_lidar_tpu.ops.centroid_pallas import (
+        pair_stats_pallas,
+        pair_stats_pallas_dyn,
+    )
+
+    r = np.random.default_rng(23)
+    cases = [
+        (8, 384, [300, 250, 180, 40, 0, 0, 0, 0]),   # bench-like
+        (8, 384, [0, 0, 7, 0, 1, 50, 0, 0]),         # gaps + singleton
+        (4, 384, [0, 0, 0, 0]),                      # all empty
+        (4, 256, [256, 3, 129, 9]),                  # non-384 P, slab edge
+    ]
+    for cc, p, sizes in cases:
+        mpts = np.zeros((cc, p, 3), np.float32)
+        mm = np.zeros((cc, p), bool)
+        for c, n in enumerate(sizes):
+            mpts[c, :n] = np.round(r.normal(0, 1, (n, 3)) * 10) / 10
+            mm[c, :n] = True
+        ref = pair_stats_pallas(
+            jnp.asarray(mpts), jnp.asarray(mm), interpret=True
+        )
+        for slab in (128, p):
+            got = pair_stats_pallas_dyn(
+                jnp.asarray(mpts), jnp.asarray(mm), interpret=True,
+                slab_rows=slab,
+            )
+            np.testing.assert_array_equal(np.asarray(ref[0]), np.asarray(got[0]))
+            np.testing.assert_array_equal(np.asarray(ref[1]), np.asarray(got[1]))
+
+
 def test_stacked_fused_cc_matches_per_frame(rng, fixture_map):
     """fused_finalize_static_cc_stacked (interpret) == per-frame
     fused_finalize_static_cc, frame by frame, bit-for-bit."""

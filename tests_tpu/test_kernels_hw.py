@@ -528,3 +528,31 @@ def test_multi_falls_back_on_undividable_n_hw(rng):
     assert int(om.n_points[0]) == n  # every point counted, none dropped
     np.testing.assert_array_equal(np.asarray(om.obj_id[-1]), np.asarray(o1.obj_id))
     np.testing.assert_array_equal(np.asarray(om.pos[-1]), np.asarray(o1.pos))
+
+
+def test_pair_stats_dyn_kernel_hw(rng):
+    """The dynamic-trip-count pair-stats kernel (_kernel_v5_dyn — what the
+    grid path's default wrapper now executes) is BIT-identical on hardware
+    to the unrolled _kernel_v3, at both slab settings, including interior
+    empty slots the dynamic bound must step over."""
+    from multiple_object_tracking_lidar_tpu.ops.centroid_pallas import (
+        pair_stats_pallas,
+        pair_stats_pallas_dyn,
+    )
+
+    cc, p = 32, 384
+    mpts = np.zeros((cc, p, 3), np.float32)
+    mm = np.zeros((cc, p), bool)
+    for c in range(5):
+        n = int(rng.integers(30, 340))
+        mpts[c, :n] = np.round(rng.normal(0, 1, (n, 3)) * 10) / 10
+        mm[c, :n] = True
+    mpts[7, 0] = [1.0, 2.0, 0.5]  # singleton after a 2-slot gap
+    mm[7, 0] = True
+    ref = pair_stats_pallas(jnp.asarray(mpts), jnp.asarray(mm))
+    for slab in (128, p):
+        got = pair_stats_pallas_dyn(
+            jnp.asarray(mpts), jnp.asarray(mm), slab_rows=slab
+        )
+        np.testing.assert_array_equal(np.asarray(ref[0]), np.asarray(got[0]))
+        np.testing.assert_array_equal(np.asarray(ref[1]), np.asarray(got[1]))
