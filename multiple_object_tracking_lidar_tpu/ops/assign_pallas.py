@@ -155,8 +155,24 @@ def _kernel(
 
     nobj0 = cnt_ref[0]
     nbirth0 = cnt_ref[1]
+
+    # Dynamic trip count: a trip whose detection is INVALID mutates nothing
+    # (write/register/ovf all gate on dv) and writes exactly the outs0
+    # defaults to its output lane — except the slot row, which is contract-
+    # free off ok-lanes (ops/assign.py AssocResult: det_slot is defined
+    # only where det_ok; the jnp fast path already zeroes it there, and the
+    # parity suite compares it only where ok).  So the scan only needs to
+    # run through the LAST valid detection; at bench activity that is ~4-5
+    # trips instead of D=32 (~8 us/frame saved; docs/PERFORMANCE.md r5).
+    # The bound comes from a scalar SMEM scan, so interior invalid lanes
+    # still execute their (no-op) trips — correct for any validity pattern,
+    # not just the rank-ordered contiguous one the cluster table produces.
+    def last_valid(i, m):
+        return jnp.where(dv_ref[i] != 0, i + 1, m)
+
+    bound = jax.lax.fori_loop(0, n_dets, last_valid, jnp.int32(0))
     _, ai_f, outs_f, nobj_f, nbirth_f, ovf_f = jax.lax.fori_loop(
-        0, n_dets, trip, (af0, ai0, outs0, nobj0, nbirth0, jnp.int32(0))
+        0, bound, trip, (af0, ai0, outs0, nobj0, nbirth0, jnp.int32(0))
     )
     ai_out[...] = ai_f
     outs_out[...] = outs_f
